@@ -1,0 +1,135 @@
+"""Engine configuration.
+
+Capability parity with the reference Config (reference: nanovllm/config.py:9-35),
+re-designed for a JAX/TPU engine:
+
+- the reference reads an HF ``AutoConfig`` from a model directory; we support the
+  same but also accept an inline ``ModelConfig`` so the engine runs hermetically
+  (no hub access) for tests and synthetic benchmarks.
+- ``enforce_eager`` (reference: CUDA-graph opt-out) maps to disabling the
+  jit-bucket machinery; on TPU everything is jitted, so it only disables
+  shape-bucketing (one compile per exact shape instead).
+- TPU-specific knobs: ``decode_block_bucket`` / token bucketing policy, KV cache
+  dtype, and mesh shape for SPMD sharding.
+"""
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters (subset of HF Qwen3Config we consume).
+
+    Mirrors the fields the reference reads off ``AutoConfig``
+    (reference: nanovllm/models/qwen3.py:147-176, config.py:31-34).
+    """
+
+    architectures: tuple = ("Qwen3ForCausalLM",)
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 40960
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+    torch_dtype: str = "bfloat16"
+    eos_token_id: int = 151645
+    bos_token_id: int = 151643
+
+    @staticmethod
+    def from_json(path: str) -> "ModelConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        cfg = ModelConfig()
+        for k in list(vars(cfg)):
+            if k in raw:
+                v = raw[k]
+                if k == "architectures":
+                    v = tuple(v)
+                setattr(cfg, k, v)
+        if "head_dim" not in raw:
+            cfg.head_dim = cfg.hidden_size // cfg.num_attention_heads
+        return cfg
+
+
+# Known architectures; extended by the model registry (models/__init__.py).
+SUPPORTED_ARCHITECTURES = ("Qwen3ForCausalLM", "Qwen2ForCausalLM", "LlamaForCausalLM")
+
+
+@dataclass
+class Config:
+    """Engine configuration (reference: nanovllm/config.py:9-35).
+
+    ``model`` may be a directory containing ``config.json`` (+ ``*.safetensors``)
+    or empty/None when ``hf_config`` is given inline.
+    """
+
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 512
+    max_model_len: int = 4096
+    gpu_memory_utilization: float = 0.9  # fraction of HBM given to weights+KV
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    enforce_eager: bool = False
+    hf_config: ModelConfig | None = None
+    eos: int = -1
+    kvcache_block_size: int = 256
+    num_kvcache_blocks: int = -1
+
+    # --- quantization (reference: config.py:22-25) ---
+    linear_dtype: str = "bfloat16"           # bf16 | int8 | fp8 (storage dtype)
+    weight_quant_fn: object = None           # fake-quant callable applied to weights
+    quant_type: str | None = None            # per_tensor | per_row | per_group | smoothquant
+    group_size: int = 128
+    kv_cache_dtype: str = "auto"             # auto (=model dtype) | int8 (extension)
+    activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
+
+    # --- TPU-specific ---
+    dtype: str = "bfloat16"
+    mesh_shape: tuple | None = None          # (data, model); default (dp, tp)
+    decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384)
+    attention_impl: str = "auto"             # auto | pallas | xla
+
+    def __post_init__(self):
+        # Pallas paged kernels want TPU-lane-aligned blocks; the XLA fallback
+        # (and host-logic tests) accept any positive size.
+        assert self.kvcache_block_size > 0
+        if self.attention_impl == "pallas":
+            assert self.kvcache_block_size % 16 == 0
+        assert 1 <= self.tensor_parallel_size <= 64
+        if self.hf_config is None:
+            cfg_path = os.path.join(os.path.expanduser(self.model), "config.json")
+            assert os.path.isfile(cfg_path), f"no config.json under {self.model!r}"
+            self.hf_config = ModelConfig.from_json(cfg_path)
+        arch = self.hf_config.architectures[0]
+        assert arch in SUPPORTED_ARCHITECTURES, f"unsupported architecture {arch}"
+        self.max_model_len = min(self.max_model_len, self.hf_config.max_position_embeddings)
+        assert self.max_num_batched_tokens >= self.max_model_len
+        if self.eos == -1:
+            self.eos = self.hf_config.eos_token_id
+        if self.mesh_shape is None:
+            self.mesh_shape = (self.data_parallel_size, self.tensor_parallel_size)
+        if self.quant_type is not None:
+            assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
+        assert self.linear_dtype in ("bfloat16", "int8", "fp8")
+        assert self.kv_cache_dtype in ("auto", "int8")
+        # buckets must cover the configured maxima
+        self.decode_bs_buckets = tuple(
+            b for b in sorted(self.decode_bs_buckets) if b <= self.max_num_seqs
+        ) or (self.max_num_seqs,)
+        if self.decode_bs_buckets[-1] < self.max_num_seqs:
+            self.decode_bs_buckets = self.decode_bs_buckets + (self.max_num_seqs,)
+        self.prefill_token_buckets = tuple(
+            t for t in sorted(self.prefill_token_buckets) if t <= self.max_num_batched_tokens
+        ) or (self.max_num_batched_tokens,)
+        if self.prefill_token_buckets[-1] < self.max_num_batched_tokens:
+            self.prefill_token_buckets = self.prefill_token_buckets + (self.max_num_batched_tokens,)

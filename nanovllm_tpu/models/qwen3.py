@@ -1,0 +1,206 @@
+"""Qwen3 (and Qwen2/Llama-family) decoder as pure JAX functions.
+
+Capability parity with the reference model definition (reference:
+nanovllm/models/qwen3.py:15-219) — merged QKV and gate/up projections, per-head
+q/k RMSNorm (Qwen3), half-split RoPE, SiLU-gated MLP, fused residual-add
+RMSNorm, tied or untied LM head — redesigned TPU-first:
+
+- **params are a pytree** with per-layer weights stacked on a leading L axis,
+  and the decoder loop is a ``lax.scan``: one trace/compile of the layer body
+  regardless of depth, and XLA double-buffers layer weights through the loop.
+- **no module classes**: linear layers are param dicts applied by
+  ``ops.layers.linear_apply``, which also dispatches quantized variants; TP is
+  sharding metadata on the arrays (parallel/sharding.py), not code.
+- **attention metadata is an explicit argument** (PrefillMeta/DecodeMeta
+  pytrees) instead of the reference's process-global Context
+  (nanovllm/utils/context.py) — globals don't trace under jit.
+
+Weight layout: all projection weights are stored transposed to [in, out] so
+activations contract as ``x @ w`` on the MXU.
+"""
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import ModelConfig
+from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.attention import DecodeMeta, DenseMeta, PrefillMeta
+from nanovllm_tpu.ops.layers import (
+    add_rms_norm,
+    apply_rope,
+    embedding_lookup,
+    linear_apply,
+    rms_norm,
+    rope_cos_sin,
+)
+
+
+class Qwen3StaticConfig(NamedTuple):
+    """Hashable static model facts closed over by the jitted step functions."""
+
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    hidden_size: int
+    intermediate_size: int
+    rms_norm_eps: float
+    rope_theta: float
+    tie_word_embeddings: bool
+    qk_norm: bool                    # Qwen3 per-head q/k RMSNorm
+    block_size: int = 256
+    attention_impl: str = "xla"      # xla | pallas
+    quant_cfg: tuple | None = None   # (quant_type, group_size, act_quant) or None
+
+    @staticmethod
+    def from_model_config(cfg: ModelConfig, *, block_size=256, attention_impl="xla",
+                          quant_cfg=None):
+        arch = cfg.architectures[0]
+        return Qwen3StaticConfig(
+            num_layers=cfg.num_hidden_layers,
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            rms_norm_eps=cfg.rms_norm_eps,
+            rope_theta=cfg.rope_theta,
+            tie_word_embeddings=cfg.tie_word_embeddings,
+            qk_norm=(arch == "Qwen3ForCausalLM"),
+            block_size=block_size,
+            attention_impl=attention_impl,
+            quant_cfg=quant_cfg,
+        )
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
+    """Random-init a full parameter pytree (synthetic checkpoints for tests and
+    benchmarks; real checkpoints come through utils/loader.py)."""
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    Hq, Hk = cfg.num_attention_heads, cfg.num_key_value_heads
+    I = cfg.intermediate_size
+    V = cfg.vocab_size
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+    params = {
+        "embed_tokens": dense(next(keys), (V, H), H),
+        "layers": {
+            "qkv_proj": {"w": dense(next(keys), (L, H, (Hq + 2 * Hk) * D), H)},
+            "o_proj": {"w": dense(next(keys), (L, Hq * D, H), Hq * D)},
+            "gate_up_proj": {"w": dense(next(keys), (L, H, 2 * I), H)},
+            "down_proj": {"w": dense(next(keys), (L, I, H), I)},
+            "q_norm": jnp.ones((L, D), dtype),
+            "k_norm": jnp.ones((L, D), dtype),
+            "input_ln": jnp.ones((L, H), dtype),
+            "post_ln": jnp.ones((L, H), dtype),
+        },
+        "norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(next(keys), (V, H), H)
+    return params
+
+
+def _attention_layer(layer_p, x, k_cache, v_cache, meta, sc: Qwen3StaticConfig):
+    """One attention block over token stream x [T, H]; returns (out, caches)."""
+    T = x.shape[0]
+    Hq, Hk, D = sc.num_heads, sc.num_kv_heads, sc.head_dim
+    qcfg = sc.quant_cfg
+    qkv = linear_apply(layer_p["qkv_proj"], x, quant_cfg=qcfg)
+    q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hk) * D], axis=-1)
+    q = q.reshape(T, Hq, D)
+    k = k.reshape(T, Hk, D)
+    v = v.reshape(T, Hk, D)
+    if sc.qk_norm:
+        # Per-head RMSNorm on q/k before RoPE (reference: qwen3.py:71-87)
+        q = rms_norm(q, layer_p["q_norm"], sc.rms_norm_eps)
+        k = rms_norm(k, layer_p["k_norm"], sc.rms_norm_eps)
+    cos, sin = rope_cos_sin(meta.positions, D, sc.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    scale = 1.0 / math.sqrt(D)
+    if isinstance(meta, DenseMeta):
+        o = attn_ops.dense_attention(q, k, v, meta.positions, scale, impl=sc.attention_impl)
+        out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
+        return out, k_cache, v_cache
+    k_cache, v_cache = attn_ops.store_kv(k_cache, v_cache, k, v, meta.slot_mapping)
+    if isinstance(meta, PrefillMeta):
+        o = attn_ops.prefill_attention(q, k_cache, v_cache, meta, scale,
+                                       impl=sc.attention_impl, block_size=sc.block_size)
+    else:
+        o = attn_ops.decode_attention(q, k_cache, v_cache, meta, scale,
+                                      impl=sc.attention_impl, block_size=sc.block_size)
+    out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
+    return out, k_cache, v_cache
+
+
+def _mlp(layer_p, x, sc: Qwen3StaticConfig):
+    from nanovllm_tpu.ops.layers import silu_and_mul
+    gate_up = linear_apply(layer_p["gate_up_proj"], x, quant_cfg=sc.quant_cfg)
+    return linear_apply(layer_p["down_proj"], silu_and_mul(gate_up), quant_cfg=sc.quant_cfg)
+
+
+def forward(params: dict, input_ids, meta, k_caches, v_caches, sc: Qwen3StaticConfig):
+    """Full decoder forward over a token stream.
+
+    input_ids: i32[T]; k_caches/v_caches: [L, S, Hk, D]. Returns
+    (hidden [T, H] after final norm, updated caches). The layer loop is a
+    ``lax.scan`` over stacked layer params and cache slices.
+    """
+    x = embedding_lookup(params["embed_tokens"], input_ids)
+
+    # The reference threads a None residual through the first layer
+    # (qwen3.py:179-189); a zero residual in the scan carry is equivalent and
+    # keeps every scan iteration uniform.
+    residual = jnp.zeros_like(x)
+    def uniform_step(carry, scanned):
+        h, residual = carry
+        layer_p, k_c, v_c = scanned
+        normed, residual = add_rms_norm(h, residual, layer_p["input_ln"], sc.rms_norm_eps)
+        attn_out, k_c, v_c = _attention_layer(layer_p, normed, k_c, v_c, meta, sc)
+        normed, residual = add_rms_norm(attn_out, residual, layer_p["post_ln"], sc.rms_norm_eps)
+        mlp_out = _mlp(layer_p, normed, sc)
+        return (mlp_out, residual), (k_c, v_c)
+
+    (h, residual), (k_caches, v_caches) = jax.lax.scan(
+        uniform_step, (x, residual), (params["layers"], k_caches, v_caches))
+    h = (h.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    h = rms_norm(h, params["norm"], sc.rms_norm_eps)
+    return h, k_caches, v_caches
+
+
+def dense_forward(params: dict, input_ids, positions, sc: Qwen3StaticConfig):
+    """Cache-free teacher-forcing forward (model-as-library eval path; the
+    reference's simple_attention=True mode, qwen3.py:65-70 + test_ppl.py:23).
+    Returns hidden states [T, H] after the final norm."""
+    dtype = params["embed_tokens"].dtype
+    dummy = jnp.zeros((sc.num_layers, 1, sc.num_kv_heads, sc.head_dim), dtype)
+    h, _, _ = forward(params, input_ids, DenseMeta(positions), dummy, dummy, sc)
+    return h
+
+
+def compute_logits(params: dict, hidden, sc: Qwen3StaticConfig):
+    """LM head over selected hidden states [B, H] → [B, V] in fp32.
+
+    (reference: nanovllm/layers/embed_head.py:44-66 — last-token narrowing is
+    done by the caller via meta.last_token_idx.)"""
+    w = params["embed_tokens"] if sc.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(hidden.astype(jnp.float32), w.astype(jnp.float32).T)
+
+
+def select_last_tokens(hidden, meta):
+    """Narrow prefill hidden states to each sequence's last token
+    (reference: nanovllm/layers/embed_head.py:57-60)."""
+    if isinstance(meta, PrefillMeta):
+        return jnp.take(hidden, meta.last_token_idx, axis=0)
+    return hidden

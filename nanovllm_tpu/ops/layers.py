@@ -1,0 +1,102 @@
+"""Core layer ops as pure functions over param pytrees.
+
+The reference implements these as torch ``nn.Module``s with ``torch.compile``
+fusion (reference: nanovllm/layers/layernorm.py, rotary_embedding.py,
+activation.py, sampler.py, linear.py). Here each op is a pure function under
+``jax.jit`` — XLA fuses the elementwise chains into surrounding matmuls, which
+subsumes the reference's per-module ``torch.compile`` decoration.
+
+Linear layers are param dicts, not classes: ``{"w": [K, N]}`` for dense bf16,
+or quantized variants produced by ``ops.quantization`` (``w_q``/``scale``/...).
+``linear_apply`` dispatches on the keys present, so model code is agnostic to
+the quantization scheme; tensor parallelism is expressed via sharding
+annotations on the arrays (parallel/sharding.py), not via class hierarchy
+(reference: nanovllm/layers/linear.py:12-153 has 5 TP linear classes — SPMD
+sharding makes them one function).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x, weight, eps: float = 1e-6):
+    """RMSNorm with fp32 accumulation (reference: nanovllm/layers/layernorm.py:15-25)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def add_rms_norm(x, residual, weight, eps: float = 1e-6):
+    """Fused residual-add + RMSNorm returning (normed, new_residual)
+    (reference: nanovllm/layers/layernorm.py:27-40)."""
+    residual = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    return rms_norm(residual, weight, eps), residual
+
+
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32):
+    """cos/sin tables for the given positions, half-split (non-interleaved) layout
+    (reference: nanovllm/layers/rotary_embedding.py:18-35 precomputes a
+    [max_pos, head_dim] cache; on TPU we compute on the fly — an outer product
+    plus transcendentals fuses away, and avoids a 40k-row gather)."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """Rotate [T, H, D] by per-token cos/sin [T, D/2], half-split layout
+    (reference: nanovllm/layers/rotary_embedding.py:8-15)."""
+    dtype = x.dtype
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1).astype(dtype)
+
+
+def silu_and_mul(x):
+    """silu(x1) * x2 over a 2-chunked last dim (reference: nanovllm/layers/activation.py:6-14)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(x1) * x2
+
+
+def embedding_lookup(weight, input_ids):
+    return jnp.take(weight, input_ids, axis=0)
+
+
+def linear_apply(p: dict, x, *, quant_cfg=None):
+    """Apply a linear layer given its param dict.
+
+    Key layouts (N = out features, K = in features; weights stored [K, N] so
+    activations contract naturally on the MXU):
+      - ``{"w"}``:                              dense matmul
+      - ``{"w_q", "scale"}`` scale [N]:         per-row (per-out-channel)
+      - ``{"w_q", "scale"}`` scale scalar:      per-tensor
+      - ``{"w_q", "scale"}`` scale [K/g, N]:    per-group along K
+    Quantized dispatch lives in ops.quantization to keep this file dense-only.
+    """
+    if "w" in p:
+        return x @ p["w"]
+    from nanovllm_tpu.ops import quantization as q
+    return q.quant_linear_apply(p, x, quant_cfg)
+
+
+def sample(logits, temperatures, key):
+    """Greedy / temperature sampling.
+
+    ``temperatures`` is [B]; 0.0 → argmax. The reference sampler is argmax-only
+    despite accepting temperatures (reference: nanovllm/layers/sampler.py:5-12);
+    we implement real Gumbel-max temperature sampling and degrade to greedy at
+    temperature 0, which matches reference behavior on its evals.
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, logits.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
+    t = temperatures[:, None]
+    noisy = jnp.argmax(logits / jnp.maximum(t, 1e-6) + gumbel, axis=-1)
+    return jnp.where(temperatures <= 0.0, greedy, noisy).astype(jnp.int32)

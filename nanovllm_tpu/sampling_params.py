@@ -1,0 +1,16 @@
+"""Per-request sampling parameters (reference: nanovllm/sampling_params.py:4-9).
+
+The reference accepts ``temperature`` but its sampler is argmax-only
+(reference: nanovllm/layers/sampler.py:5-12). We implement real temperature
+sampling; ``temperature == 0.0`` selects greedy decoding, matching the
+reference's effective behavior on its parity evals (test_mmlu.py uses 0.0).
+"""
+
+from dataclasses import dataclass
+
+
+@dataclass
+class SamplingParams:
+    temperature: float = 1.0
+    max_tokens: int = 64
+    ignore_eos: bool = False
