@@ -1,0 +1,65 @@
+"""Offline throughput benchmark (reference: bench.py).
+
+Workload parity: 256 sequences, random input/output lengths in [100, 1024],
+ignore_eos, throughput = sum(max_tokens) / wall time. Reference number to beat:
+1434.13 tok/s (Qwen3-0.6B on RTX 4070 Laptop, README.md:57-61).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+from random import randint, seed
+
+BASELINE_TOK_S = 1434.13  # reference README.md:57-61
+
+
+def get_model_path() -> str:
+    path = os.environ.get("NANOVLLM_TPU_MODEL",
+                          os.path.expanduser("~/huggingface/Qwen3-0.6B/"))
+    if os.path.isdir(path):
+        return path
+    from nanovllm_tpu.config import ModelConfig
+    from nanovllm_tpu.utils.loader import save_synthetic_checkpoint
+    synth = "/tmp/nanovllm_tpu_synth/qwen3-0.6b"
+    if not os.path.isfile(os.path.join(synth, "model.safetensors")):
+        save_synthetic_checkpoint(synth, ModelConfig(), seed=0)
+    return synth
+
+
+def main():
+    from nanovllm_tpu import LLM, SamplingParams
+
+    seed(0)
+    num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
+    max_input_len = int(os.environ.get("BENCH_MAX_INPUT", 1024))
+    max_output_len = int(os.environ.get("BENCH_MAX_OUTPUT", 1024))
+
+    llm = LLM(get_model_path(), max_model_len=4096)
+
+    prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
+                        for _ in range(num_seqs)]
+    sampling_params = [SamplingParams(temperature=0.6, ignore_eos=True,
+                                      max_tokens=randint(100, max_output_len))
+                       for _ in range(num_seqs)]
+
+    # warmup: compiles the prefill/decode buckets
+    llm.generate([[randint(0, 10000) for _ in range(128)]],
+                 SamplingParams(max_tokens=128, ignore_eos=True), use_tqdm=False)
+
+    t = time.time()
+    llm.generate(prompt_token_ids, sampling_params, use_tqdm=False)
+    t = time.time() - t
+    total_tokens = sum(sp.max_tokens for sp in sampling_params)
+    throughput = total_tokens / t
+    print(json.dumps({
+        "metric": "offline_throughput",
+        "value": round(throughput, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(throughput / BASELINE_TOK_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

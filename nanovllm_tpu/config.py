@@ -122,6 +122,17 @@ class Config:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")
         assert self.kv_cache_dtype in ("auto", "int8")
+        if self.attention_impl == "auto":
+            # flips to "pallas" on TPU once the flash kernels land (ops/pallas/)
+            self.attention_impl = "xla"
+        if self.attention_impl == "xla":
+            # The masked-softmax fallback materializes [heads, T, T] fp32
+            # prefill scores and per-seq padded KV gathers on decode; bound
+            # both so they coexist with the KV cache. The Pallas kernels
+            # remove these limits.
+            self.max_num_batched_tokens = min(self.max_num_batched_tokens,
+                                              max(4096, self.max_model_len))
+            self.max_num_seqs = min(self.max_num_seqs, 128)
         # buckets must cover the configured maxima
         self.decode_bs_buckets = tuple(
             b for b in sorted(self.decode_bs_buckets) if b <= self.max_num_seqs

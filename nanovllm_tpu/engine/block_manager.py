@@ -114,6 +114,11 @@ class BlockManager:
                 block.update(h, token_ids)
                 self.hash_to_block_id[h] = block_id
             seq.block_table.append(block_id)
+        # A fully block-aligned prompt can be 100% cached, leaving a zero-token
+        # prefill (latent in the reference, which never hits it because prompts
+        # are rarely block-aligned). Always recompute at least the last token —
+        # its KV rewrite is idempotent and the logits are needed for sampling.
+        seq.num_cached_tokens = min(seq.num_cached_tokens, len(seq) - 1)
 
     def deallocate(self, seq):
         for block_id in reversed(seq.block_table):

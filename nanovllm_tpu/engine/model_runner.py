@@ -40,6 +40,17 @@ from nanovllm_tpu.utils.loader import load_params
 logger = logging.getLogger(__name__)
 
 
+# HBM per chip by PJRT device_kind (used when memory_stats is unavailable)
+_HBM_BYTES = {
+    "TPU v4": 32 * 2**30,
+    "TPU v5 lite": 16 * 2**30,
+    "TPU v5e": 16 * 2**30,
+    "TPU v5p": 95 * 2**30,
+    "TPU v6 lite": 32 * 2**30,
+    "TPU v6e": 32 * 2**30,
+}
+
+
 def _next_bucket(buckets, n):
     """Smallest bucket >= n, extending by doubling if needed."""
     i = bisect.bisect_left(buckets, n)
@@ -67,9 +78,7 @@ class ModelRunner:
         self.plan = ShardingPlan(mesh) if mesh is not None else None
 
         # --- static model config ---
-        impl = config.attention_impl
-        if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = config.attention_impl  # "auto" already resolved by Config
         quant_cfg = None
         if config.quant_type in ("per_tensor", "per_row", "per_group"):
             quant_cfg = (config.quant_type, config.group_size,
@@ -129,15 +138,34 @@ class ModelRunner:
         cfg = self.config
         hf = cfg.hf_config
         if cfg.num_kvcache_blocks <= 0:
-            stats = jax.devices()[0].memory_stats() or {}
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
             limit = stats.get("bytes_limit", 0)
             in_use = stats.get("bytes_in_use", 0)
+            if not limit and dev.platform == "tpu":
+                # Some PJRT transports don't expose memory stats; fall back to
+                # the known HBM size per chip generation and count the params
+                # we placed ourselves.
+                limit = _HBM_BYTES.get(dev.device_kind, 16 * 2**30)
+                in_use = sum(x.nbytes for x in jax.tree.leaves(self.params))
             if limit:
                 # Reserve headroom for activations/logits the way the reference
                 # subtracts warmup peak: prefill activations scale with
                 # max_num_batched_tokens; logits with max_num_seqs * vocab.
                 act = cfg.max_num_batched_tokens * hf.hidden_size * 2 * 24
                 logits = cfg.max_num_seqs * hf.vocab_size * 4 * 2
+                if self.sc.attention_impl == "xla":
+                    # the XLA fallback gathers each sequence's padded KV and
+                    # materializes fp32 scores; both must fit alongside the cache
+                    W = (cfg.max_model_len + self.block_size - 1) // self.block_size
+                    kv_bytes = jnp.dtype(self.kv_dtype).itemsize
+                    gather = 2 * cfg.max_num_seqs * W * self.block_size \
+                        * hf.num_key_value_heads * hf.head_dim * kv_bytes
+                    t = cfg.max_num_batched_tokens
+                    scores = max(hf.num_attention_heads * t * t * 4,
+                                 cfg.max_num_seqs * hf.num_attention_heads
+                                 * W * self.block_size * 4)
+                    act += 2 * gather + 2 * scores
                 budget = int(limit * cfg.gpu_memory_utilization) - in_use - act - logits
                 cfg.num_kvcache_blocks = max(budget, 0) // self._kv_block_bytes()
             else:  # CPU / unknown backend: small default for tests
@@ -145,7 +173,7 @@ class ModelRunner:
                     64, 2 * cfg.max_num_seqs * cfg.max_model_len // self.block_size // 8)
         assert cfg.num_kvcache_blocks > 0, "not enough device memory for KV cache"
         num_slots = cfg.num_kvcache_blocks * self.block_size
-        shape = (hf.num_hidden_layers, num_slots, hf.num_key_value_heads, hf.head_dim)
+        shape = (hf.num_hidden_layers, hf.num_key_value_heads, num_slots, hf.head_dim)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
         self.k_caches = jnp.zeros(shape, self.kv_dtype, device=sharding)
         self.v_caches = jnp.zeros(shape, self.kv_dtype, device=sharding)

@@ -110,8 +110,13 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _attention_layer(layer_p, x, k_cache, v_cache, meta, sc: Qwen3StaticConfig):
-    """One attention block over token stream x [T, H]; returns (out, caches)."""
+def _attention_layer(layer_p, x, k_caches, v_caches, layer_idx, meta, sc: Qwen3StaticConfig):
+    """One attention block over token stream x [T, H].
+
+    k_caches/v_caches are the full stacked [L, S, Hk, D] buffers; the write is
+    a scatter at ``layer_idx`` (kept in place by XLA across the layer loop) and
+    reads slice the layer lazily (fused into the attention gathers).
+    """
     T = x.shape[0]
     Hq, Hk, D = sc.num_heads, sc.num_kv_heads, sc.head_dim
     qcfg = sc.quant_cfg
@@ -132,16 +137,19 @@ def _attention_layer(layer_p, x, k_cache, v_cache, meta, sc: Qwen3StaticConfig):
     if isinstance(meta, DenseMeta):
         o = attn_ops.dense_attention(q, k, v, meta.positions, scale, impl=sc.attention_impl)
         out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
-        return out, k_cache, v_cache
-    k_cache, v_cache = attn_ops.store_kv(k_cache, v_cache, k, v, meta.slot_mapping)
+        return out, k_caches, v_caches
+    k_caches, v_caches = attn_ops.store_kv(k_caches, v_caches, k, v,
+                                           meta.slot_mapping, layer_idx)
+    k_l = k_caches[layer_idx]
+    v_l = v_caches[layer_idx]
     if isinstance(meta, PrefillMeta):
-        o = attn_ops.prefill_attention(q, k_cache, v_cache, meta, scale,
+        o = attn_ops.prefill_attention(q, k_l, v_l, meta, scale,
                                        impl=sc.attention_impl, block_size=sc.block_size)
     else:
-        o = attn_ops.decode_attention(q, k_cache, v_cache, meta, scale,
+        o = attn_ops.decode_attention(q, k_l, v_l, meta, scale,
                                       impl=sc.attention_impl, block_size=sc.block_size)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
-    return out, k_cache, v_cache
+    return out, k_caches, v_caches
 
 
 def _mlp(layer_p, x, sc: Qwen3StaticConfig):
@@ -161,19 +169,22 @@ def forward(params: dict, input_ids, meta, k_caches, v_caches, sc: Qwen3StaticCo
 
     # The reference threads a None residual through the first layer
     # (qwen3.py:179-189); a zero residual in the scan carry is equivalent and
-    # keeps every scan iteration uniform.
+    # keeps every scan iteration uniform. The KV caches ride the carry (not
+    # xs/ys) so the donated buffers are updated in place.
     residual = jnp.zeros_like(x)
-    def uniform_step(carry, scanned):
-        h, residual = carry
-        layer_p, k_c, v_c = scanned
+
+    def uniform_step(carry, layer_p):
+        h, residual, k_caches, v_caches, l = carry
         normed, residual = add_rms_norm(h, residual, layer_p["input_ln"], sc.rms_norm_eps)
-        attn_out, k_c, v_c = _attention_layer(layer_p, normed, k_c, v_c, meta, sc)
+        attn_out, k_caches, v_caches = _attention_layer(
+            layer_p, normed, k_caches, v_caches, l, meta, sc)
         normed, residual = add_rms_norm(attn_out, residual, layer_p["post_ln"], sc.rms_norm_eps)
         mlp_out = _mlp(layer_p, normed, sc)
-        return (mlp_out, residual), (k_c, v_c)
+        return (mlp_out, residual, k_caches, v_caches, l + 1), None
 
-    (h, residual), (k_caches, v_caches) = jax.lax.scan(
-        uniform_step, (x, residual), (params["layers"], k_caches, v_caches))
+    (h, residual, k_caches, v_caches, _), _ = jax.lax.scan(
+        uniform_step, (x, residual, k_caches, v_caches, jnp.int32(0)),
+        params["layers"])
     h = (h.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     h = rms_norm(h, params["norm"], sc.rms_norm_eps)
     return h, k_caches, v_caches
@@ -184,7 +195,7 @@ def dense_forward(params: dict, input_ids, positions, sc: Qwen3StaticConfig):
     reference's simple_attention=True mode, qwen3.py:65-70 + test_ppl.py:23).
     Returns hidden states [T, H] after the final norm."""
     dtype = params["embed_tokens"].dtype
-    dummy = jnp.zeros((sc.num_layers, 1, sc.num_kv_heads, sc.head_dim), dtype)
+    dummy = jnp.zeros((sc.num_layers, sc.num_kv_heads, 1, sc.head_dim), dtype)
     h, _, _ = forward(params, input_ids, DenseMeta(positions), dummy, dummy, sc)
     return h
 

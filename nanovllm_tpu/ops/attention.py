@@ -73,18 +73,28 @@ def dense_attention(q, k, v, positions, scale: float, *, impl="xla"):
     return _gqa_out(p, v, q.shape[1]).astype(q.dtype)
 
 
-def store_kv(k_cache, v_cache, k, v, slot_mapping):
-    """Scatter new K/V rows ([T, Hk, D]) into flat-slot caches ([S, Hk, D]).
+def store_kv(k_caches, v_caches, k, v, slot_mapping, layer_idx):
+    """Scatter new K/V rows ([T, Hk, D]) into the stacked caches
+    ([L, Hk, S, D]) at ``layer_idx``.
 
-    Padding entries (slot == -1) are remapped to S (out of bounds) and dropped
-    by scatter mode='drop' — the moral equivalent of the reference Triton
-    kernel's slot==-1 early return (reference: nanovllm/layers/attention.py:23).
+    Cache layout is head-major so a (head, block) read is one contiguous
+    block_size x head_dim DMA in the Pallas kernels. Padding entries
+    (slot == -1) are remapped to S (out of bounds) and dropped by scatter
+    mode='drop' — the moral equivalent of the reference Triton kernel's
+    slot==-1 early return (reference: nanovllm/layers/attention.py:23).
+    Scattering into the full stacked buffer (rather than a scanned-out slice)
+    lets XLA keep the donated cache in place across the layer loop instead of
+    materializing a second copy.
     """
-    num_slots = k_cache.shape[0]
+    num_slots = k_caches.shape[2]
     slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
-    k_cache = k_cache.at[slots].set(k.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[slots].set(v.astype(v_cache.dtype), mode="drop")
-    return k_cache, v_cache
+    # note: mixed basic/advanced indexing puts the slot axis first, so the
+    # update value keeps the natural [T, Hk, D] layout
+    k_caches = k_caches.at[layer_idx, :, slots, :].set(
+        k.astype(k_caches.dtype), mode="drop")
+    v_caches = v_caches.at[layer_idx, :, slots, :].set(
+        v.astype(v_caches.dtype), mode="drop")
+    return k_caches, v_caches
 
 
 def _gqa_scores(q, k):
@@ -112,12 +122,13 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 def prefill_attention_xla(q, k_cache, v_cache, meta: PrefillMeta, scale: float):
     """Masked-softmax reference implementation of ragged prefill attention.
 
-    Reads K/V from the paged cache via ``meta.k_slots`` so prefix-cache hits
-    and fresh tokens are handled uniformly (the reference instead switches
-    between two flash-attn call signatures, attention.py:64-70).
+    Reads K/V from the paged cache ([Hk, S, D]) via ``meta.k_slots`` so
+    prefix-cache hits and fresh tokens are handled uniformly (the reference
+    instead switches between two flash-attn call signatures,
+    attention.py:64-70).
     """
-    k = jnp.take(k_cache, meta.k_slots, axis=0)    # [Tk, Hk, D]
-    v = jnp.take(v_cache, meta.k_slots, axis=0)
+    k = jnp.take(k_cache, meta.k_slots, axis=1).swapaxes(0, 1)  # [Tk, Hk, D]
+    v = jnp.take(v_cache, meta.k_slots, axis=1).swapaxes(0, 1)
     s = _gqa_scores(q, k) * scale                   # [Hq, T, Tk]
     seg_ok = meta.q_segment_ids[:, None] == meta.k_segment_ids[None, :]
     causal = meta.k_positions[None, :] <= meta.positions[:, None]
@@ -143,19 +154,21 @@ def decode_attention(q, k_cache, v_cache, meta, scale, *, impl="xla", block_size
 
 
 def _decode_attention_xla(q, k_cache, v_cache, meta: DecodeMeta, scale: float, block_size: int):
+    """q [B, Hq, D] against the paged cache [Hk, S, D] via block tables."""
     B, W = meta.block_tables.shape
     offs = jnp.arange(block_size, dtype=jnp.int32)
-    slots = (meta.block_tables[:, :, None] * block_size + offs[None, None, :]).reshape(B, W * block_size)
-    k = jnp.take(k_cache, slots.reshape(-1), axis=0).reshape(B, W * block_size, *k_cache.shape[1:])
-    v = jnp.take(v_cache, slots.reshape(-1), axis=0).reshape(B, W * block_size, *v_cache.shape[1:])
+    slots = (meta.block_tables[:, :, None] * block_size + offs[None, None, :]).reshape(-1)
+    Hk = k_cache.shape[0]
+    S = W * block_size
+    k = jnp.take(k_cache, slots, axis=1).reshape(Hk, B, S, -1)
+    v = jnp.take(v_cache, slots, axis=1).reshape(Hk, B, S, -1)
     Hq, D = q.shape[1], q.shape[2]
-    Hk = k.shape[2]
     G = Hq // Hk
     qg = q.reshape(B, Hk, G, D).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bshd->bhgs", qg, k.astype(jnp.float32)) * scale
-    pos = jnp.arange(W * block_size, dtype=jnp.int32)
+    s = jnp.einsum("bhgd,hbsd->bhgs", qg, k.astype(jnp.float32)) * scale
+    pos = jnp.arange(S, dtype=jnp.int32)
     mask = pos[None, :] < meta.context_lens[:, None]
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgs,bshd->bhgd", p, v.astype(jnp.float32))
+    o = jnp.einsum("bhgs,hbsd->bhgd", p, v.astype(jnp.float32))
     return o.reshape(B, Hq, D).astype(q.dtype)

@@ -91,8 +91,8 @@ class ShardingPlan:
         return _unflatten(out)
 
     def kv_sharding(self) -> NamedSharding:
-        # [L, S, Hk, D]: shard kv heads across "model"
-        return NamedSharding(self.mesh, P(None, None, "model", None))
+        # [L, Hk, S, D]: shard kv heads across "model"
+        return NamedSharding(self.mesh, P(None, "model", None, None))
 
 
 def _flatten_with_paths(tree, prefix=""):

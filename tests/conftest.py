@@ -3,10 +3,16 @@ logic is unit-testable without TPU hardware (SURVEY.md §4.6)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The environment may pin JAX_PLATFORMS to a TPU plugin (and a sitecustomize
+# may have force-registered it); an in-process config update reliably pins the
+# test suite to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,105 @@
+"""End-to-end engine tests: LLM.generate through the continuous-batching +
+paged-KV path must reproduce a naive teacher-forced greedy rollout."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+from nanovllm_tpu.models import qwen3
+from nanovllm_tpu.models.qwen3 import Qwen3StaticConfig
+from nanovllm_tpu.utils.loader import load_params
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_checkpoint):
+    return LLM(
+        tiny_checkpoint,
+        max_model_len=128,
+        max_num_batched_tokens=256,
+        max_num_seqs=8,
+        kvcache_block_size=8,
+        num_kvcache_blocks=96,
+        decode_bs_buckets=(2, 4, 8),
+        prefill_token_buckets=(32, 64, 128, 256),
+        attention_impl="xla",
+    )
+
+
+@pytest.fixture(scope="module")
+def greedy_reference(tiny_checkpoint, tiny_config):
+    """Naive greedy rollout via the cache-free dense path."""
+    params = load_params(tiny_checkpoint, tiny_config, dtype=jnp.float32)
+    sc = Qwen3StaticConfig.from_model_config(tiny_config, attention_impl="xla")
+
+    def rollout(prompt, n, eos=None):
+        toks = list(prompt)
+        for _ in range(n):
+            ids = jnp.asarray(toks, jnp.int32)
+            h = qwen3.dense_forward(params, ids, jnp.arange(len(toks), dtype=jnp.int32), sc)
+            logits = qwen3.compute_logits(params, h[-1:], sc)
+            nxt = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+            toks.append(nxt)
+            if eos is not None and nxt == eos:
+                break
+        return toks[len(prompt):]
+
+    return rollout
+
+
+def test_greedy_generation_matches_reference(engine, greedy_reference, rng):
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 13, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs = engine.generate(prompts, sp, use_tqdm=False)
+    for prompt, out in zip(prompts, outs):
+        ref = greedy_reference(prompt, 12)
+        assert out["token_ids"] == ref, f"engine={out['token_ids']} ref={ref}"
+
+
+def test_eos_stops_generation(engine, greedy_reference, rng):
+    prompt = rng.integers(0, 512, size=9).tolist()
+    eos = engine.config.eos
+    ref = greedy_reference(prompt, 40, eos=eos)
+    out = engine.generate([prompt], SamplingParams(temperature=0.0, max_tokens=40),
+                          use_tqdm=False)[0]
+    assert out["token_ids"] == ref
+
+
+def test_prefix_cache_consistency(engine, rng):
+    """Identical prompts (second run hits the prefix cache) produce identical
+    greedy outputs; a long shared prefix also matches the uncached result."""
+    base = rng.integers(0, 512, size=40).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    first = engine.generate([base], sp, use_tqdm=False)[0]["token_ids"]
+    second = engine.generate([base], sp, use_tqdm=False)[0]["token_ids"]
+    assert first == second
+    # shared 40-token prefix + divergent tail
+    variant = base + [7]
+    v1 = engine.generate([variant], sp, use_tqdm=False)[0]["token_ids"]
+    v2 = engine.generate([variant], sp, use_tqdm=False)[0]["token_ids"]
+    assert v1 == v2
+
+
+def test_temperature_sampling_varies_and_respects_limits(engine, rng):
+    prompt = rng.integers(0, 512, size=6).tolist()
+    sp = SamplingParams(temperature=1.5, max_tokens=16, ignore_eos=True)
+    out = engine.generate([prompt], sp, use_tqdm=False)[0]
+    assert len(out["token_ids"]) == 16
+    assert all(0 <= t < 512 for t in out["token_ids"])
+
+
+def test_many_seqs_with_preemption_pressure(tiny_checkpoint, rng):
+    """Tiny KV pool forces preemption mid-decode; everything must still finish
+    and match the no-pressure engine's outputs."""
+    roomy = LLM(tiny_checkpoint, max_model_len=128, max_num_batched_tokens=256,
+                max_num_seqs=8, kvcache_block_size=8, num_kvcache_blocks=96,
+                attention_impl="xla")
+    tight = LLM(tiny_checkpoint, max_model_len=128, max_num_batched_tokens=256,
+                max_num_seqs=8, kvcache_block_size=8, num_kvcache_blocks=14,
+                attention_impl="xla")
+    prompts = [rng.integers(0, 512, size=int(n)).tolist() for n in (9, 17, 11, 23)]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    a = roomy.generate(prompts, sp, use_tqdm=False)
+    b = tight.generate(prompts, sp, use_tqdm=False)
+    for x, y in zip(a, b):
+        assert x["token_ids"] == y["token_ids"]
