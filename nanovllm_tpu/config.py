@@ -81,7 +81,10 @@ class Config:
     enforce_eager: bool = False
     hf_config: ModelConfig | None = None
     eos: int = -1
-    kvcache_block_size: int = 256
+    # Page size of the paged KV cache. The reference hard-codes 256
+    # (config.py:29); 64 reads less padding per decode step on TPU and gives
+    # finer-grained prefix caching.
+    kvcache_block_size: int = 64
     num_kvcache_blocks: int = -1
 
     # --- quantization (reference: config.py:22-25) ---
@@ -97,14 +100,12 @@ class Config:
     mesh_shape: tuple | None = None          # (data, model); default (dp, tp)
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384)
-    attention_impl: str = "auto"             # auto | pallas | xla
+    attention_impl: str = "auto"             # auto | ragged (Pallas) | xla
 
     def __post_init__(self):
-        # Pallas paged kernels want TPU-lane-aligned blocks; the XLA fallback
+        # Pallas paged kernels want TPU-lane-aligned pages; the XLA fallback
         # (and host-logic tests) accept any positive size.
         assert self.kvcache_block_size > 0
-        if self.attention_impl == "pallas":
-            assert self.kvcache_block_size % 16 == 0
         assert 1 <= self.tensor_parallel_size <= 64
         if self.hf_config is None:
             cfg_path = os.path.join(os.path.expanduser(self.model), "config.json")
@@ -123,13 +124,12 @@ class Config:
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")
         assert self.kv_cache_dtype in ("auto", "int8")
         if self.attention_impl == "auto":
-            # flips to "pallas" on TPU once the flash kernels land (ops/pallas/)
-            self.attention_impl = "xla"
+            import jax
+            self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"
         if self.attention_impl == "xla":
-            # The masked-softmax fallback materializes [heads, T, T] fp32
-            # prefill scores and per-seq padded KV gathers on decode; bound
-            # both so they coexist with the KV cache. The Pallas kernels
-            # remove these limits.
+            # The masked-softmax oracle materializes [T, B-context] fp32
+            # scores; bound the batch so it stays test-sized. The Pallas
+            # kernels have no such limits.
             self.max_num_batched_tokens = min(self.max_num_batched_tokens,
                                               max(4096, self.max_model_len))
             self.max_num_seqs = min(self.max_num_seqs, 128)

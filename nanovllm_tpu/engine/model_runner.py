@@ -9,15 +9,18 @@ nanovllm/engine/model_runner.py:16-356), redesigned for XLA/TPU:
   mesh, so the control plane disappears.
 - **CUDA graphs → bucketed jit.** The reference captures decode CUDA graphs at
   batch sizes [1,2,...,512] (model_runner.py:316-356). XLA compiles one
-  executable per input shape; we bucket decode batch size and prefill token
-  count to powers of two, pad, and let the jit cache play the role of the
-  graph pool. Padded KV-store slots are -1 (dropped by the scatter).
-- **KV cache**: two arrays [L, S, Hk, D] (S = num_blocks * block_size flat
-  slots), donated through every step so XLA updates them in place. Sizing
-  probes device memory stats like the reference's mem_get_info policy
-  (model_runner.py:131-170).
-- **Batch prep is vectorized numpy** — the reference's per-token Python loops
-  (model_runner.py:193-209) are the known host-side scalability tax.
+  executable per input shape; we bucket the q-token count and pad, and the
+  jit cache plays the role of the graph pool.
+- **One step function.** Prefill and decode are the same ragged computation
+  (decode = one token per sequence); they differ only in bucket shapes, so a
+  single jitted ``_step`` serves both (the reference maintains two prep paths
+  and an eager-vs-graph split, model_runner.py:182-302). This also permits
+  mixed prefill+decode batches.
+- **KV cache**: one pooled page buffer [L*P, page_size, 2*Hk, D] donated
+  through every step so XLA updates it in place. Sizing probes device memory
+  stats like the reference's mem_get_info policy (model_runner.py:131-170),
+  falling back to a per-generation HBM table when the PJRT transport doesn't
+  expose stats.
 """
 
 import bisect
@@ -33,12 +36,12 @@ from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import qwen3
 from nanovllm_tpu.models.qwen3 import Qwen3StaticConfig
-from nanovllm_tpu.ops.attention import DecodeMeta, PrefillMeta
+from nanovllm_tpu.ops.attention import AttnMeta
 from nanovllm_tpu.ops.layers import sample
+from nanovllm_tpu.ops.pallas.kv_store import build_store_tables
 from nanovllm_tpu.utils.loader import load_params
 
 logger = logging.getLogger(__name__)
-
 
 # HBM per chip by PJRT device_kind (used when memory_stats is unavailable)
 _HBM_BYTES = {
@@ -66,25 +69,15 @@ class ModelRunner:
     def __init__(self, config: Config, mesh=None, params=None):
         self.config = config
         hf = config.hf_config
-        self.block_size = config.kvcache_block_size
+        self.page_size = config.kvcache_block_size
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.kv_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else self.dtype
         self.mesh = mesh
         self.rng_key = jax.random.key(0)
         self.step_counter = 0
 
-        # --- sharding setup (single-chip: everything replicated/local) ---
         from nanovllm_tpu.parallel.sharding import ShardingPlan
         self.plan = ShardingPlan(mesh) if mesh is not None else None
-
-        # --- static model config ---
-        impl = config.attention_impl  # "auto" already resolved by Config
-        quant_cfg = None
-        if config.quant_type in ("per_tensor", "per_row", "per_group"):
-            quant_cfg = (config.quant_type, config.group_size,
-                         config.activation_quant, config.linear_dtype)
-        self.sc = Qwen3StaticConfig.from_model_config(
-            hf, block_size=self.block_size, attention_impl=impl, quant_cfg=quant_cfg)
 
         # --- parameters ---
         if params is None:
@@ -100,16 +93,22 @@ class ModelRunner:
             params = jax.device_put(params)
         self.params = jax.block_until_ready(params)
 
-        # --- KV cache ---
+        # --- KV cache (needs pages_per_layer before the static config) ---
         self._allocate_kv_cache()
 
-        # --- jitted step functions (bucketed shapes hit the jit cache) ---
-        self._prefill_jit = jax.jit(
-            partial(_prefill_step, sc=self.sc), donate_argnums=(1, 2))
-        self._decode_jit = jax.jit(
-            partial(_decode_step, sc=self.sc), donate_argnums=(1, 2))
+        quant_cfg = None
+        if config.quant_type in ("per_tensor", "per_row", "per_group"):
+            quant_cfg = (config.quant_type, config.group_size,
+                         config.activation_quant, config.linear_dtype)
+        self.sc = Qwen3StaticConfig.from_model_config(
+            hf, page_size=self.page_size,
+            pages_per_layer=config.num_kvcache_blocks,
+            attention_impl=config.attention_impl,
+            store_interpret=jax.default_backend() != "tpu",
+            quant_cfg=quant_cfg)
 
-        self.decode_table_width = (config.max_model_len + self.block_size - 1) // self.block_size
+        self._step_jit = jax.jit(partial(_step, sc=self.sc), donate_argnums=(1,))
+        self.table_width = (config.max_model_len + self.page_size - 1) // self.page_size
 
     # ------------------------------------------------------------------ quant
     def _quantize(self, params):
@@ -126,15 +125,16 @@ class ModelRunner:
         return params
 
     # ------------------------------------------------------------------ KV
-    def _kv_block_bytes(self):
+    def _page_bytes(self):
+        """Bytes per logical page across all layers."""
         hf = self.config.hf_config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        return (2 * hf.num_hidden_layers * self.block_size
-                * hf.num_key_value_heads * hf.head_dim * itemsize)
+        return (hf.num_hidden_layers * self.page_size
+                * 2 * hf.num_key_value_heads * hf.head_dim * itemsize)
 
     def _allocate_kv_cache(self):
-        """Size the paged cache from device memory (reference policy:
-        model_runner.py:131-170) and allocate the flat-slot arrays."""
+        """Size the pooled page cache from device memory (reference policy:
+        model_runner.py:131-170) and allocate it."""
         cfg = self.config
         hf = cfg.hf_config
         if cfg.num_kvcache_blocks <= 0:
@@ -143,151 +143,104 @@ class ModelRunner:
             limit = stats.get("bytes_limit", 0)
             in_use = stats.get("bytes_in_use", 0)
             if not limit and dev.platform == "tpu":
-                # Some PJRT transports don't expose memory stats; fall back to
-                # the known HBM size per chip generation and count the params
-                # we placed ourselves.
                 limit = _HBM_BYTES.get(dev.device_kind, 16 * 2**30)
                 in_use = sum(x.nbytes for x in jax.tree.leaves(self.params))
             if limit:
-                # Reserve headroom for activations/logits the way the reference
-                # subtracts warmup peak: prefill activations scale with
-                # max_num_batched_tokens; logits with max_num_seqs * vocab.
+                # headroom for activations and logits (the reference measures
+                # warmup peak; we budget analytically)
                 act = cfg.max_num_batched_tokens * hf.hidden_size * 2 * 24
                 logits = cfg.max_num_seqs * hf.vocab_size * 4 * 2
-                if self.sc.attention_impl == "xla":
-                    # the XLA fallback gathers each sequence's padded KV and
-                    # materializes fp32 scores; both must fit alongside the cache
-                    W = (cfg.max_model_len + self.block_size - 1) // self.block_size
-                    kv_bytes = jnp.dtype(self.kv_dtype).itemsize
-                    gather = 2 * cfg.max_num_seqs * W * self.block_size \
-                        * hf.num_key_value_heads * hf.head_dim * kv_bytes
-                    t = cfg.max_num_batched_tokens
-                    scores = max(hf.num_attention_heads * t * t * 4,
-                                 cfg.max_num_seqs * hf.num_attention_heads
-                                 * W * self.block_size * 4)
-                    act += 2 * gather + 2 * scores
                 budget = int(limit * cfg.gpu_memory_utilization) - in_use - act - logits
-                cfg.num_kvcache_blocks = max(budget, 0) // self._kv_block_bytes()
+                cfg.num_kvcache_blocks = max(budget, 0) // self._page_bytes()
             else:  # CPU / unknown backend: small default for tests
                 cfg.num_kvcache_blocks = max(
-                    64, 2 * cfg.max_num_seqs * cfg.max_model_len // self.block_size // 8)
+                    64, 2 * cfg.max_num_seqs * cfg.max_model_len // self.page_size // 8)
         assert cfg.num_kvcache_blocks > 0, "not enough device memory for KV cache"
-        num_slots = cfg.num_kvcache_blocks * self.block_size
-        shape = (hf.num_hidden_layers, hf.num_key_value_heads, num_slots, hf.head_dim)
+        hf = cfg.hf_config
+        shape = (hf.num_hidden_layers * cfg.num_kvcache_blocks, self.page_size,
+                 2 * hf.num_key_value_heads, hf.head_dim)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
-        self.k_caches = jnp.zeros(shape, self.kv_dtype, device=sharding)
-        self.v_caches = jnp.zeros(shape, self.kv_dtype, device=sharding)
-        logger.info("KV cache: %d blocks x %d slots (%.2f GiB)",
-                    cfg.num_kvcache_blocks, self.block_size,
-                    2 * np.prod(shape) * jnp.dtype(self.kv_dtype).itemsize / 2**30)
+        self.kv_pages = jnp.zeros(shape, self.kv_dtype, device=sharding)
+        logger.info("KV cache: %d pages/layer x %d slots (%.2f GiB)",
+                    cfg.num_kvcache_blocks, self.page_size,
+                    np.prod(shape) * jnp.dtype(self.kv_dtype).itemsize / 2**30)
 
     # ------------------------------------------------------------------ prep
-    def prepare_prefill(self, seqs: list[Sequence]) -> tuple[PrefillMeta, np.ndarray]:
-        """Vectorized ragged-batch prep (reference: model_runner.py:182-237)."""
-        bs = self.block_size
+    def prepare(self, seqs: list[Sequence], is_prefill: bool) -> tuple[AttnMeta, np.ndarray]:
+        """Unified ragged-batch prep (replaces the reference's prepare_prefill
+        + prepare_decode pair, model_runner.py:182-270)."""
         cfg = self.config
-        q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], np.int32)
-        k_lens = np.array([len(s) for s in seqs], np.int32)
-        T = _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()))
-        Tk = _next_bucket(cfg.prefill_token_buckets, int(k_lens.sum()))
+        ps = self.page_size
         B = cfg.max_num_seqs
+        W = self.table_width
 
-        positions = np.zeros(T, np.int32)
-        q_seg = np.full(T, -1, np.int32)
-        slot_mapping = np.full(T, -1, np.int32)
-        k_slots = np.zeros(Tk, np.int32)
-        k_seg = np.full(Tk, -1, np.int32)
-        k_pos = np.zeros(Tk, np.int32)
-        last_idx = np.zeros(B, np.int32)
-        temps = np.zeros(B, np.float32)
-
-        qo = 0
-        ko = 0
-        for i, seq in enumerate(seqs):
-            nq, nk = int(q_lens[i]), int(k_lens[i])
-            table = np.asarray(seq.block_table, np.int64)
-            pos_all = np.arange(nk, dtype=np.int32)
-            slots_all = (table[pos_all // bs] * bs + pos_all % bs).astype(np.int32)
-            positions[qo:qo + nq] = pos_all[nk - nq:]
-            q_seg[qo:qo + nq] = i
-            slot_mapping[qo:qo + nq] = slots_all[nk - nq:]
-            k_slots[ko:ko + nk] = slots_all
-            k_seg[ko:ko + nk] = i
-            k_pos[ko:ko + nk] = pos_all
-            last_idx[i] = qo + nq - 1
-            temps[i] = seq.temperature
-            qo += nq
-            ko += nk
+        if is_prefill:
+            q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], np.int64)
+            # full-page store copies over-read the stream by up to a page
+            T = _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps)
+        else:
+            # decode: exactly the last token runs (num_cached_tokens is
+            # prefill-time bookkeeping and goes stale as the seq grows)
+            q_lens = np.ones(len(seqs), np.int64)
+            T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
 
         input_ids = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        q_seg = np.full(T, -1, np.int32)
+        kv_lens = np.zeros(B, np.int32)
+        page_indices = np.zeros((B, W), np.int32)
+        cu = np.zeros(B + 1, np.int32)
+        last_idx = np.zeros(B, np.int32)
+        temps = np.zeros(B, np.float32)
+        q_starts = np.zeros(len(seqs), np.int64)
+        cached_lens = np.zeros(len(seqs), np.int64)
+
         qo = 0
         for i, seq in enumerate(seqs):
             nq = int(q_lens[i])
-            input_ids[qo:qo + nq] = seq.token_ids[len(seq) - nq:]
-            qo += nq
-
-        meta = PrefillMeta(
-            positions=jnp.asarray(positions), q_segment_ids=jnp.asarray(q_seg),
-            slot_mapping=jnp.asarray(slot_mapping), k_slots=jnp.asarray(k_slots),
-            k_segment_ids=jnp.asarray(k_seg), k_positions=jnp.asarray(k_pos),
-            last_token_idx=jnp.asarray(last_idx), temperatures=jnp.asarray(temps))
-        return meta, input_ids
-
-    def prepare_decode(self, seqs: list[Sequence]) -> tuple[DecodeMeta, np.ndarray]:
-        """Decode batch prep (reference: model_runner.py:239-270)."""
-        cfg = self.config
-        bs = self.block_size
-        B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
-        W = self.decode_table_width
-
-        input_ids = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        slot_mapping = np.full(B, -1, np.int32)
-        block_tables = np.zeros((B, W), np.int32)
-        context_lens = np.ones(B, np.int32)  # 1 at pad: keeps padded softmax finite
-        temps = np.zeros(B, np.float32)
-        for i, seq in enumerate(seqs):
-            n = len(seq)
-            input_ids[i] = seq.last_token
-            positions[i] = n - 1
-            last = seq.block_table[-1]
-            slot_mapping[i] = last * bs + (n - 1) % bs
-            block_tables[i, :len(seq.block_table)] = seq.block_table
-            context_lens[i] = n
+            nk = len(seq)
+            input_ids[qo:qo + nq] = seq.token_ids[nk - nq:]
+            positions[qo:qo + nq] = np.arange(nk - nq, nk, dtype=np.int32)
+            q_seg[qo:qo + nq] = i
+            kv_lens[i] = nk
+            page_indices[i, :len(seq.block_table)] = seq.block_table
+            last_idx[i] = qo + nq - 1
             temps[i] = seq.temperature
+            q_starts[i] = qo
+            cached_lens[i] = nk - nq
+            qo += nq
+        cu[1:len(seqs) + 1] = np.cumsum(q_lens)
+        cu[len(seqs) + 1:] = qo
 
-        meta = DecodeMeta(
-            positions=jnp.asarray(positions), slot_mapping=jnp.asarray(slot_mapping),
-            block_tables=jnp.asarray(block_tables), context_lens=jnp.asarray(context_lens),
-            temperatures=jnp.asarray(temps))
+        # fixed store-table capacities so meta shapes don't add compile keys
+        NP = cfg.max_num_batched_tokens // ps + B
+        NS = B
+        store = build_store_tables(q_starts, q_lens, cached_lens, page_indices,
+                                   ps, NP, NS)
+
+        meta = AttnMeta(
+            positions=jnp.asarray(positions), q_segment_ids=jnp.asarray(q_seg),
+            kv_lens=jnp.asarray(kv_lens), page_indices=jnp.asarray(page_indices),
+            cu_q_lens=jnp.asarray(cu), num_seqs=jnp.asarray([len(seqs)], dtype=jnp.int32),
+            last_token_idx=jnp.asarray(last_idx), temperatures=jnp.asarray(temps),
+            store_page_src=jnp.asarray(store[0]), store_page_dst=jnp.asarray(store[1]),
+            store_row_src=jnp.asarray(store[2]), store_row_dst_page=jnp.asarray(store[3]),
+            store_row_dst_pos=jnp.asarray(store[4]), store_counts=jnp.asarray(store[5]))
         return meta, input_ids
 
     # ------------------------------------------------------------------ run
     def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
         self.step_counter += 1
         key = jax.random.fold_in(self.rng_key, self.step_counter)
-        if is_prefill:
-            meta, input_ids = self.prepare_prefill(seqs)
-            tokens, self.k_caches, self.v_caches = self._prefill_jit(
-                self.params, self.k_caches, self.v_caches, meta,
-                jnp.asarray(input_ids), key)
-        else:
-            meta, input_ids = self.prepare_decode(seqs)
-            tokens, self.k_caches, self.v_caches = self._decode_jit(
-                self.params, self.k_caches, self.v_caches, meta,
-                jnp.asarray(input_ids), key)
+        meta, input_ids = self.prepare(seqs, is_prefill)
+        tokens, self.kv_pages = self._step_jit(
+            self.params, self.kv_pages, meta, jnp.asarray(input_ids), key)
         return np.asarray(tokens)[: len(seqs)].tolist()
 
-def _prefill_step(params, k_caches, v_caches, meta, input_ids, key, *, sc):
-    h, k_caches, v_caches = qwen3.forward(params, input_ids, meta, k_caches, v_caches, sc)
+
+def _step(params, kv_pages, meta, input_ids, key, *, sc):
+    h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
     h_last = qwen3.select_last_tokens(h, meta)
     logits = qwen3.compute_logits(params, h_last, sc)
     tokens = sample(logits, meta.temperatures, key)
-    return tokens, k_caches, v_caches
-
-
-def _decode_step(params, k_caches, v_caches, meta, input_ids, key, *, sc):
-    h, k_caches, v_caches = qwen3.forward(params, input_ids, meta, k_caches, v_caches, sc)
-    logits = qwen3.compute_logits(params, h, sc)
-    tokens = sample(logits, meta.temperatures, key)
-    return tokens, k_caches, v_caches
+    return tokens, kv_pages

@@ -11,9 +11,11 @@ RMSNorm, tied or untied LM head — redesigned TPU-first:
 - **no module classes**: linear layers are param dicts applied by
   ``ops.layers.linear_apply``, which also dispatches quantized variants; TP is
   sharding metadata on the arrays (parallel/sharding.py), not code.
-- **attention metadata is an explicit argument** (PrefillMeta/DecodeMeta
-  pytrees) instead of the reference's process-global Context
-  (nanovllm/utils/context.py) — globals don't trace under jit.
+- **attention metadata is an explicit argument** (AttnMeta/DenseMeta pytrees)
+  instead of the reference's process-global Context (nanovllm/utils/context.py)
+  — globals don't trace under jit.
+- **one pooled KV-page buffer** rides the scan carry; each layer stores and
+  attends at a page offset, so the donated cache updates in place.
 
 Weight layout: all projection weights are stored transposed to [in, out] so
 activations contract as ``x @ w`` on the MXU.
@@ -24,11 +26,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nanovllm_tpu.config import ModelConfig
 from nanovllm_tpu.ops import attention as attn_ops
-from nanovllm_tpu.ops.attention import DecodeMeta, DenseMeta, PrefillMeta
+from nanovllm_tpu.ops.attention import AttnMeta, DenseMeta
 from nanovllm_tpu.ops.layers import (
     add_rms_norm,
     apply_rope,
@@ -36,6 +37,7 @@ from nanovllm_tpu.ops.layers import (
     linear_apply,
     rms_norm,
     rope_cos_sin,
+    silu_and_mul,
 )
 
 
@@ -52,12 +54,15 @@ class Qwen3StaticConfig(NamedTuple):
     rope_theta: float
     tie_word_embeddings: bool
     qk_norm: bool                    # Qwen3 per-head q/k RMSNorm
-    block_size: int = 256
-    attention_impl: str = "xla"      # xla | pallas
-    quant_cfg: tuple | None = None   # (quant_type, group_size, act_quant) or None
+    page_size: int = 64
+    pages_per_layer: int = 0         # logical pages per layer in the pool
+    attention_impl: str = "xla"      # ragged | xla
+    store_interpret: bool = False    # interpret-mode store kernel (CPU tests)
+    quant_cfg: tuple | None = None   # (quant_type, group_size, act_quant, dtype)
 
     @staticmethod
-    def from_model_config(cfg: ModelConfig, *, block_size=256, attention_impl="xla",
+    def from_model_config(cfg: ModelConfig, *, page_size=64, pages_per_layer=0,
+                          attention_impl="xla", store_interpret=False,
                           quant_cfg=None):
         arch = cfg.architectures[0]
         return Qwen3StaticConfig(
@@ -71,8 +76,10 @@ class Qwen3StaticConfig(NamedTuple):
             rope_theta=cfg.rope_theta,
             tie_word_embeddings=cfg.tie_word_embeddings,
             qk_norm=(arch == "Qwen3ForCausalLM"),
-            block_size=block_size,
+            page_size=page_size,
+            pages_per_layer=pages_per_layer,
             attention_impl=attention_impl,
+            store_interpret=store_interpret,
             quant_cfg=quant_cfg,
         )
 
@@ -110,13 +117,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _attention_layer(layer_p, x, k_caches, v_caches, layer_idx, meta, sc: Qwen3StaticConfig):
-    """One attention block over token stream x [T, H].
-
-    k_caches/v_caches are the full stacked [L, S, Hk, D] buffers; the write is
-    a scatter at ``layer_idx`` (kept in place by XLA across the layer loop) and
-    reads slice the layer lazily (fused into the attention gathers).
-    """
+def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfig):
+    """One attention block over token stream x [T, H]; stores new K/V into the
+    pooled page cache and attends against it."""
     T = x.shape[0]
     Hq, Hk, D = sc.num_heads, sc.num_kv_heads, sc.head_dim
     qcfg = sc.quant_cfg
@@ -135,59 +138,52 @@ def _attention_layer(layer_p, x, k_caches, v_caches, layer_idx, meta, sc: Qwen3S
 
     scale = 1.0 / math.sqrt(D)
     if isinstance(meta, DenseMeta):
-        o = attn_ops.dense_attention(q, k, v, meta.positions, scale, impl=sc.attention_impl)
-        out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
-        return out, k_caches, v_caches
-    k_caches, v_caches = attn_ops.store_kv(k_caches, v_caches, k, v,
-                                           meta.slot_mapping, layer_idx)
-    k_l = k_caches[layer_idx]
-    v_l = v_caches[layer_idx]
-    if isinstance(meta, PrefillMeta):
-        o = attn_ops.prefill_attention(q, k_l, v_l, meta, scale,
-                                       impl=sc.attention_impl, block_size=sc.block_size)
+        o = attn_ops.dense_attention(q, k, v, meta.positions, scale)
     else:
-        o = attn_ops.decode_attention(q, k_l, v_l, meta, scale,
-                                      impl=sc.attention_impl, block_size=sc.block_size)
+        kv_new = attn_ops.combine_kv(k, v)
+        kv_pages = attn_ops.store_kv(
+            kv_pages, kv_new, meta, layer_idx, page_size=sc.page_size,
+            pages_per_layer=sc.pages_per_layer, interpret=sc.store_interpret)
+        o = attn_ops.paged_attention(
+            q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
+            page_size=sc.page_size, pages_per_layer=sc.pages_per_layer)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
-    return out, k_caches, v_caches
+    return out, kv_pages
 
 
 def _mlp(layer_p, x, sc: Qwen3StaticConfig):
-    from nanovllm_tpu.ops.layers import silu_and_mul
     gate_up = linear_apply(layer_p["gate_up_proj"], x, quant_cfg=sc.quant_cfg)
     return linear_apply(layer_p["down_proj"], silu_and_mul(gate_up), quant_cfg=sc.quant_cfg)
 
 
-def forward(params: dict, input_ids, meta, k_caches, v_caches, sc: Qwen3StaticConfig):
+def forward(params: dict, input_ids, meta, kv_pages, sc: Qwen3StaticConfig):
     """Full decoder forward over a token stream.
 
-    input_ids: i32[T]; k_caches/v_caches: [L, S, Hk, D]. Returns
-    (hidden [T, H] after final norm, updated caches). The layer loop is a
-    ``lax.scan`` over stacked layer params and cache slices.
+    input_ids: i32[T]; kv_pages: [L*pages_per_layer, ps, 2Hk, D] (or a dummy
+    for the dense path). Returns (hidden [T, H] after final norm, kv_pages).
+    The layer loop is a ``lax.scan`` over stacked layer params; the pooled
+    cache rides the carry so XLA updates the donated buffer in place.
     """
     x = embedding_lookup(params["embed_tokens"], input_ids)
 
     # The reference threads a None residual through the first layer
     # (qwen3.py:179-189); a zero residual in the scan carry is equivalent and
-    # keeps every scan iteration uniform. The KV caches ride the carry (not
-    # xs/ys) so the donated buffers are updated in place.
+    # keeps every scan iteration uniform.
     residual = jnp.zeros_like(x)
 
-    def uniform_step(carry, layer_p):
-        h, residual, k_caches, v_caches, l = carry
+    def layer_step(carry, layer_p):
+        h, residual, kv_pages, l = carry
         normed, residual = add_rms_norm(h, residual, layer_p["input_ln"], sc.rms_norm_eps)
-        attn_out, k_caches, v_caches = _attention_layer(
-            layer_p, normed, k_caches, v_caches, l, meta, sc)
+        attn_out, kv_pages = _attention_layer(layer_p, normed, kv_pages, l, meta, sc)
         normed, residual = add_rms_norm(attn_out, residual, layer_p["post_ln"], sc.rms_norm_eps)
         mlp_out = _mlp(layer_p, normed, sc)
-        return (mlp_out, residual, k_caches, v_caches, l + 1), None
+        return (mlp_out, residual, kv_pages, l + 1), None
 
-    (h, residual, k_caches, v_caches, _), _ = jax.lax.scan(
-        uniform_step, (x, residual, k_caches, v_caches, jnp.int32(0)),
-        params["layers"])
+    (h, residual, kv_pages, _), _ = jax.lax.scan(
+        layer_step, (x, residual, kv_pages, jnp.int32(0)), params["layers"])
     h = (h.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     h = rms_norm(h, params["norm"], sc.rms_norm_eps)
-    return h, k_caches, v_caches
+    return h, kv_pages
 
 
 def dense_forward(params: dict, input_ids, positions, sc: Qwen3StaticConfig):
@@ -195,8 +191,8 @@ def dense_forward(params: dict, input_ids, positions, sc: Qwen3StaticConfig):
     reference's simple_attention=True mode, qwen3.py:65-70 + test_ppl.py:23).
     Returns hidden states [T, H] after the final norm."""
     dtype = params["embed_tokens"].dtype
-    dummy = jnp.zeros((sc.num_layers, sc.num_kv_heads, 1, sc.head_dim), dtype)
-    h, _, _ = forward(params, input_ids, DenseMeta(positions), dummy, dummy, sc)
+    dummy = jnp.zeros((1, 1, 2 * sc.num_kv_heads, sc.head_dim), dtype)
+    h, _ = forward(params, input_ids, DenseMeta(positions), dummy, sc)
     return h
 
 
@@ -210,8 +206,6 @@ def compute_logits(params: dict, hidden, sc: Qwen3StaticConfig):
 
 
 def select_last_tokens(hidden, meta):
-    """Narrow prefill hidden states to each sequence's last token
+    """Narrow hidden states to each sequence's last token
     (reference: nanovllm/layers/embed_head.py:57-60)."""
-    if isinstance(meta, PrefillMeta):
-        return jnp.take(hidden, meta.last_token_idx, axis=0)
-    return hidden
+    return jnp.take(hidden, meta.last_token_idx, axis=0)

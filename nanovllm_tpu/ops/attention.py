@@ -1,20 +1,27 @@
-"""Paged-KV attention ops: metadata pytrees, KV store, prefill + decode kernels.
+"""Paged attention: unified metadata, KV store, and attention dispatch.
 
-The reference outsources these to flash-attn CUDA kernels plus a Triton scatter
-(reference: nanovllm/layers/attention.py:10-96). Here:
+The reference splits attention across two flash-attn CUDA entry points plus a
+Triton store kernel and a process-global metadata Context (reference:
+nanovllm/layers/attention.py:10-96, nanovllm/utils/context.py:5-27). Here:
 
-- ``store_kv``: scatter new K/V rows into the flat-slot paged cache (the
-  Triton ``store_kvcache_kernel`` equivalent). Implemented with
-  ``.at[slots].set`` under buffer donation — XLA performs it in place; padding
-  slots (-1) are remapped out of bounds and dropped.
-- ``prefill_attention``: ragged causal attention of the concatenated new-token
-  stream against each sequence's full K/V (prefix-cached + new), read from the
-  paged cache (flash_attn_varlen_func equivalent).
-- ``decode_attention``: one query token per sequence against the paged cache
-  via block tables (flash_attn_with_kvcache equivalent).
-
-Each has an XLA reference implementation (masked softmax — correct everywhere,
-O(T·Tk) memory) and a Pallas TPU kernel (ops/pallas/) selected via ``impl``.
+- **One metadata pytree** (``AttnMeta``) describes any batch — prefill,
+  decode, or mixed — as a ragged q stream over paged KV. It is an explicit
+  jit argument (globals don't trace).
+- **One pooled page cache** holds every layer's K and V:
+  ``kv_pages [L * pages_per_layer, page_size, 2*Hk, D]`` with K at even and
+  V at odd combined-head indices. Layer l's physical page = logical page +
+  l * pages_per_layer, so the scan over layers passes the whole donated
+  buffer (no per-layer slicing/copies) and kernels receive a plain 4D array.
+- **Store** is the custom Pallas kernel (ops/pallas/kv_store.py) — XLA
+  scatter costs ~3.5 ms/call on v5e, which at 28 layers/step was the single
+  largest cost in the engine.
+- **Attention** dispatch:
+    * ``ragged``  — the tuned in-tree Pallas kernel
+      (jax.experimental.pallas.ops.tpu.ragged_paged_attention), the library
+      analogue of the reference's flash-attn dependency; handles mixed
+      prefill+decode batches natively.
+    * ``xla``     — masked-softmax reference implementation (runs anywhere;
+      used for CPU tests and as the numeric oracle).
 """
 
 from typing import NamedTuple
@@ -22,35 +29,31 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-class PrefillMeta(NamedTuple):
-    """Ragged prefill batch metadata (host-built, padded to static buckets).
 
-    T = padded new-token count, Tk = padded key-token count (cached + new),
-    B = max sequences per batch. Equivalent of the reference's global Context
-    for prefill (reference: nanovllm/utils/context.py:5-27,
-    model_runner.py:182-237) — but passed explicitly as a jit argument.
+class AttnMeta(NamedTuple):
+    """Unified ragged-batch metadata (host-built, padded to static buckets).
+
+    T = padded q-token count, B = max sequences, W = page-table width,
+    NP/NS = static store-item capacities.
     """
 
-    positions: jax.Array       # i32[T]  position of each new token (0 at pad)
-    q_segment_ids: jax.Array   # i32[T]  sequence index per new token; -1 = pad
-    slot_mapping: jax.Array    # i32[T]  flat KV slot per new token; -1 = pad
-    k_slots: jax.Array         # i32[Tk] flat KV slots of all context tokens; 0 at pad
-    k_segment_ids: jax.Array   # i32[Tk] sequence index per context token; -1 = pad
-    k_positions: jax.Array     # i32[Tk] position of each context token
-    last_token_idx: jax.Array  # i32[B]  index into [T] of each seq's last token; 0 at pad
-    temperatures: jax.Array    # f32[B]
-
-
-class DecodeMeta(NamedTuple):
-    """Decode batch metadata: one new token per sequence
-    (reference: nanovllm/engine/model_runner.py:239-270)."""
-
-    positions: jax.Array       # i32[B]
-    slot_mapping: jax.Array    # i32[B] flat slot of the new token; -1 = pad
-    block_tables: jax.Array    # i32[B, W]
-    context_lens: jax.Array    # i32[B] total tokens incl. the new one; 0 = pad
-    temperatures: jax.Array    # f32[B]
+    positions: jax.Array        # i32[T] position of each new token (0 at pad)
+    q_segment_ids: jax.Array    # i32[T] sequence index per token; -1 = pad
+    kv_lens: jax.Array          # i32[B] total context per seq (cached + new)
+    page_indices: jax.Array     # i32[B, W] logical page ids
+    cu_q_lens: jax.Array        # i32[B+1] cumulative q lengths
+    num_seqs: jax.Array         # i32[1]
+    last_token_idx: jax.Array   # i32[B] index into [T] of each seq's last token
+    temperatures: jax.Array     # f32[B]
+    # store tables (ops/pallas/kv_store.py)
+    store_page_src: jax.Array   # i32[NP]
+    store_page_dst: jax.Array   # i32[NP] logical page ids
+    store_row_src: jax.Array    # i32[NS]
+    store_row_dst_page: jax.Array  # i32[NS] logical page ids
+    store_row_dst_pos: jax.Array   # i32[NS]
+    store_counts: jax.Array     # i32[2]
 
 
 class DenseMeta(NamedTuple):
@@ -61,44 +64,72 @@ class DenseMeta(NamedTuple):
     positions: jax.Array  # i32[T]
 
 
-def dense_attention(q, k, v, positions, scale: float, *, impl="xla"):
-    """Plain causal attention over one stream: q/k/v [T, H*, D]."""
-    if impl == "pallas":
-        from nanovllm_tpu.ops.pallas.flash_prefill import flash_dense
-        return flash_dense(q, k, v, positions, scale)
-    s = _gqa_scores(q, k) * scale
-    causal = positions[None, :] <= positions[:, None]
-    s = jnp.where(causal[None], s, _NEG_INF)
+def combine_kv(k, v):
+    """[T, Hk, D] x2 → [T, 2Hk, D] with K at even, V at odd combined heads
+    (the layout the ragged-paged-attention kernel reads)."""
+    T, Hk, D = k.shape
+    return jnp.stack([k, v], axis=2).reshape(T, 2 * Hk, D)
+
+
+def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
+             pages_per_layer: int, interpret: bool = False):
+    """Write new combined K/V rows into layer ``layer_idx``'s pages."""
+    from nanovllm_tpu.ops.pallas.kv_store import kv_store
+    off = layer_idx * pages_per_layer
+    return kv_store(
+        kv_pages, kv_new,
+        meta.store_page_src, meta.store_page_dst + off,
+        meta.store_row_src, meta.store_row_dst_page + off,
+        meta.store_row_dst_pos, meta.store_counts,
+        page_size=page_size, interpret=interpret)
+
+
+def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
+                    impl: str, page_size: int, pages_per_layer: int):
+    """Ragged attention of the q stream against layer ``layer_idx``'s pages."""
+    page_indices = meta.page_indices + layer_idx * pages_per_layer
+    if impl == "ragged":
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention)
+        return ragged_paged_attention(
+            q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
+            meta.num_seqs, sm_scale=scale, vmem_limit_bytes=100 * 2**20)
+    return _paged_attention_xla(q, kv_pages, meta, page_indices, scale,
+                                page_size=page_size)
+
+
+def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
+                         page_size: int):
+    """Masked-softmax oracle over the paged cache. O(T * B * W * ps) memory —
+    for tests and small shapes only."""
+    T, Hq, D = q.shape
+    B, W = page_indices.shape
+    Hk2 = kv_pages.shape[2]
+    Hk = Hk2 // 2
+    G = Hq // Hk
+    S = W * page_size
+    rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, 2Hk, D]
+    rows = rows.reshape(B, S, Hk2, D)
+    k = rows[:, :, 0::2, :].astype(jnp.float32)   # [B, S, Hk, D]
+    v = rows[:, :, 1::2, :].astype(jnp.float32)
+    seg = jnp.clip(meta.q_segment_ids, 0, B - 1)
+    kt = jnp.take(k, seg, axis=0)                 # [T, S, Hk, D]
+    vt = jnp.take(v, seg, axis=0)
+    qg = q.reshape(T, Hk, G, D).astype(jnp.float32)
+    s = jnp.einsum("thgd,tshd->thgs", qg, kt) * scale   # [T, Hk, G, S]
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, :]    # [1, S]
+    qpos = meta.positions[:, None]
+    valid = (meta.q_segment_ids[:, None] >= 0) & (kv_pos <= qpos) \
+        & (kv_pos < jnp.take(meta.kv_lens, seg, axis=0)[:, None])
+    s = jnp.where(valid[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    return _gqa_out(p, v, q.shape[1]).astype(q.dtype)
+    o = jnp.einsum("thgs,tshd->thgd", p, vt)
+    return o.reshape(T, Hq, D).astype(q.dtype)
 
 
-def store_kv(k_caches, v_caches, k, v, slot_mapping, layer_idx):
-    """Scatter new K/V rows ([T, Hk, D]) into the stacked caches
-    ([L, Hk, S, D]) at ``layer_idx``.
-
-    Cache layout is head-major so a (head, block) read is one contiguous
-    block_size x head_dim DMA in the Pallas kernels. Padding entries
-    (slot == -1) are remapped to S (out of bounds) and dropped by scatter
-    mode='drop' — the moral equivalent of the reference Triton kernel's
-    slot==-1 early return (reference: nanovllm/layers/attention.py:23).
-    Scattering into the full stacked buffer (rather than a scanned-out slice)
-    lets XLA keep the donated cache in place across the layer loop instead of
-    materializing a second copy.
-    """
-    num_slots = k_caches.shape[2]
-    slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
-    # note: mixed basic/advanced indexing puts the slot axis first, so the
-    # update value keeps the natural [T, Hk, D] layout
-    k_caches = k_caches.at[layer_idx, :, slots, :].set(
-        k.astype(k_caches.dtype), mode="drop")
-    v_caches = v_caches.at[layer_idx, :, slots, :].set(
-        v.astype(v_caches.dtype), mode="drop")
-    return k_caches, v_caches
-
-
+# ------------------------------------------------------------------ dense
 def _gqa_scores(q, k):
-    """q [T, Hq, D] x k [Tk, Hk, D] -> scores [Hq, T, Tk] with GQA head grouping."""
+    """q [T, Hq, D] x k [Tk, Hk, D] -> scores [Hq, T, Tk] with GQA grouping."""
     T, Hq, D = q.shape
     Hk = k.shape[1]
     G = Hq // Hk
@@ -108,7 +139,6 @@ def _gqa_scores(q, k):
 
 
 def _gqa_out(probs, v, Hq):
-    """probs [Hq, T, Tk] x v [Tk, Hk, D] -> out [T, Hq, D]."""
     Hk = v.shape[1]
     G = Hq // Hk
     p = probs.reshape(Hk, G, probs.shape[1], probs.shape[2])
@@ -116,59 +146,10 @@ def _gqa_out(probs, v, Hq):
     return o.reshape(o.shape[0], Hq, -1)
 
 
-_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def prefill_attention_xla(q, k_cache, v_cache, meta: PrefillMeta, scale: float):
-    """Masked-softmax reference implementation of ragged prefill attention.
-
-    Reads K/V from the paged cache ([Hk, S, D]) via ``meta.k_slots`` so
-    prefix-cache hits and fresh tokens are handled uniformly (the reference
-    instead switches between two flash-attn call signatures,
-    attention.py:64-70).
-    """
-    k = jnp.take(k_cache, meta.k_slots, axis=1).swapaxes(0, 1)  # [Tk, Hk, D]
-    v = jnp.take(v_cache, meta.k_slots, axis=1).swapaxes(0, 1)
-    s = _gqa_scores(q, k) * scale                   # [Hq, T, Tk]
-    seg_ok = meta.q_segment_ids[:, None] == meta.k_segment_ids[None, :]
-    causal = meta.k_positions[None, :] <= meta.positions[:, None]
-    valid = (meta.q_segment_ids[:, None] >= 0) & (meta.k_segment_ids[None, :] >= 0)
-    mask = seg_ok & causal & valid
-    s = jnp.where(mask[None], s, _NEG_INF)
+def dense_attention(q, k, v, positions, scale: float, *, impl="xla"):
+    """Plain causal attention over one stream: q/k/v [T, H*, D]."""
+    s = _gqa_scores(q, k) * scale
+    causal = positions[None, :] <= positions[:, None]
+    s = jnp.where(causal[None], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return _gqa_out(p, v, q.shape[1]).astype(q.dtype)
-
-
-def prefill_attention(q, k_cache, v_cache, meta, scale, *, impl="xla", block_size=None):
-    if impl == "pallas":
-        from nanovllm_tpu.ops.pallas.flash_prefill import flash_prefill
-        return flash_prefill(q, k_cache, v_cache, meta, scale)
-    return prefill_attention_xla(q, k_cache, v_cache, meta, scale)
-
-
-def decode_attention(q, k_cache, v_cache, meta, scale, *, impl="xla", block_size=256):
-    if impl == "pallas":
-        from nanovllm_tpu.ops.pallas.paged_decode import paged_decode
-        return paged_decode(q, k_cache, v_cache, meta, scale, block_size=block_size)
-    return _decode_attention_xla(q, k_cache, v_cache, meta, scale, block_size)
-
-
-def _decode_attention_xla(q, k_cache, v_cache, meta: DecodeMeta, scale: float, block_size: int):
-    """q [B, Hq, D] against the paged cache [Hk, S, D] via block tables."""
-    B, W = meta.block_tables.shape
-    offs = jnp.arange(block_size, dtype=jnp.int32)
-    slots = (meta.block_tables[:, :, None] * block_size + offs[None, None, :]).reshape(-1)
-    Hk = k_cache.shape[0]
-    S = W * block_size
-    k = jnp.take(k_cache, slots, axis=1).reshape(Hk, B, S, -1)
-    v = jnp.take(v_cache, slots, axis=1).reshape(Hk, B, S, -1)
-    Hq, D = q.shape[1], q.shape[2]
-    G = Hq // Hk
-    qg = q.reshape(B, Hk, G, D).astype(jnp.float32)
-    s = jnp.einsum("bhgd,hbsd->bhgs", qg, k.astype(jnp.float32)) * scale
-    pos = jnp.arange(S, dtype=jnp.int32)
-    mask = pos[None, :] < meta.context_lens[:, None]
-    s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgs,hbsd->bhgd", p, v.astype(jnp.float32))
-    return o.reshape(B, Hq, D).astype(q.dtype)

@@ -91,8 +91,9 @@ class ShardingPlan:
         return _unflatten(out)
 
     def kv_sharding(self) -> NamedSharding:
-        # [L, Hk, S, D]: shard kv heads across "model"
-        return NamedSharding(self.mesh, P(None, "model", None, None))
+        # pooled pages [L*P, page_size, 2*Hk, D]: shard combined kv heads
+        # (interleaved k/v pairs stay together while tp <= Hk)
+        return NamedSharding(self.mesh, P(None, None, "model", None))
 
 
 def _flatten_with_paths(tree, prefix=""):
