@@ -96,6 +96,14 @@ class Config:
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
 
     # --- TPU-specific ---
+    # Decode steps fused into one device call (lax.scan): sampled tokens feed
+    # the next step on device, so the host↔device round trip is paid once per
+    # K steps instead of per token (the reference reads tokens back every
+    # step, model_runner.py:308-314).
+    decode_steps_per_call: int = 8
+    # In-flight device calls the engine dispatches ahead of token
+    # materialization (EOS detection lags by at most lag*K steps).
+    async_lag: int = 2
     dtype: str = "bfloat16"
     mesh_shape: tuple | None = None          # (data, model); default (dp, tp)
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
@@ -119,6 +127,7 @@ class Config:
             self.eos = self.hf_config.eos_token_id
         if self.mesh_shape is None:
             self.mesh_shape = (self.data_parallel_size, self.tensor_parallel_size)
+        assert self.decode_steps_per_call >= 1 and self.async_lag >= 0
         if self.quant_type is not None:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")

@@ -129,6 +129,42 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.block_table.clear()
 
+    # ---------------------------------------------------------------- async
+    # The async engine schedules K decode steps per device call, so block
+    # capacity is reserved ahead of token materialization and prefix-cache
+    # hashes are committed later, when the token values arrive (the reference
+    # interleaves both in per-step may_append, block_manager.py:96-112).
+
+    def _blocks_needed(self, seq, n: int) -> int:
+        """Fresh blocks needed so the table covers positions up to
+        ``num_sched_tokens - 1 + n - 1`` (n new KV positions from the next
+        call; the final sampled token of a call stores no KV)."""
+        cover = seq.num_sched_tokens - 1 + n
+        return (cover + self.block_size - 1) // self.block_size - len(seq.block_table)
+
+    def can_reserve(self, seq, n: int) -> bool:
+        return self._blocks_needed(seq, n) <= len(self.free_block_ids)
+
+    def reserve(self, seq, n: int):
+        for _ in range(self._blocks_needed(seq, n)):
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            seq.block_table.append(block_id)
+
+    def finalize_block(self, seq):
+        """Commit the just-filled block's chained hash to the prefix cache.
+        Called at token materialization when ``len(seq) % block_size == 0``;
+        the filled block may not be the table's last (blocks are reserved
+        ahead)."""
+        idx = len(seq) // self.block_size - 1
+        block = self.blocks[seq.block_table[idx]]
+        if block.hash != -1:
+            return  # prefix-cache hit blocks arrive pre-committed
+        prefix = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else -1
+        h = compute_hash(seq.block(idx), prefix)
+        block.update(h, seq.block(idx))
+        self.hash_to_block_id[h] = block.block_id
+
     def can_append(self, seq) -> bool:
         # A new block is needed only on the step that crosses a block boundary
         # (reference: block_manager.py:93-94).

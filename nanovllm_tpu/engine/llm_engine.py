@@ -1,19 +1,29 @@
-"""Engine loop: request intake → schedule → run → postprocess.
+"""Engine loop: request intake → schedule → dispatch → (lagged) materialize.
 
 Capability parity with the reference LLMEngine (reference:
 nanovllm/engine/llm_engine.py:15-93). No worker processes to spawn or tear
 down — one JAX process drives the whole mesh — so ``exit`` is trivial and
 there is no atexit choreography.
+
+Async pipeline: each ``step`` dispatches one device call (a ragged prefill or
+a K-step decode scan) and only *later* materializes its sampled tokens —
+up to ``async_lag`` calls ride the device queue while the host schedules
+ahead, so the device-transfer round trip (≈40 ms on a tunneled TPU, ≈µs on
+PCIe) never serializes the token loop. EOS detection and prefix-cache hash
+commits happen at materialization, lagging by at most
+``async_lag * decode_steps_per_call`` tokens of (discarded) speculative work.
 """
 
 import time
+from collections import deque
 from dataclasses import fields
 
+import numpy as np
 from tqdm.auto import tqdm
 
 from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.model_runner import ModelRunner
-from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.scheduler import NeedDrain, Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
 
@@ -32,6 +42,9 @@ class LLMEngine:
         if self.tokenizer is not None and config.eos == -1:
             config.eos = self.tokenizer.eos_token_id
         self.scheduler = Scheduler(config)
+        # in-flight device calls: (seqs, steps, device_tokens, is_prefill)
+        self.pending: deque = deque()
+        self._finished: list[tuple[int, list[int]]] = []
 
     def add_request(self, prompt, sampling_params: SamplingParams = SamplingParams()):
         if isinstance(prompt, str):
@@ -40,19 +53,60 @@ class LLMEngine:
         seq = Sequence(prompt, sampling_params, block_size=self.config.kvcache_block_size)
         self.scheduler.add(seq)
 
+    # ------------------------------------------------------------- pipeline
+    def _materialize_one(self):
+        """Block on the oldest in-flight call and postprocess its tokens."""
+        seqs, steps, tokens, is_prefill = self.pending.popleft()
+        mat = np.asarray(tokens)
+        if mat.ndim == 1:  # prefill: [B] -> [1, B]
+            mat = mat[None, :]
+        for seq in self.scheduler.postprocess(seqs, steps, mat):
+            self._finished.append((seq.seq_id, seq.completion_token_ids))
+
+    def _drain(self):
+        while self.pending:
+            self._materialize_one()
+
     def step(self):
-        """One scheduling + execution step (reference: llm_engine.py:48-54).
+        """One scheduling + dispatch step (reference: llm_engine.py:48-54).
         Returns (finished outputs, num_tokens) where num_tokens > 0 counts
-        prefill tokens and < 0 is -(decode batch size)."""
-        seqs, is_prefill = self.scheduler.schedule()
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.postprocess(seqs, token_ids)
-        outputs = [(seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished]
-        num_tokens = sum(len(seq) - seq.num_cached_tokens for seq in seqs) if is_prefill else -len(seqs)
-        return outputs, num_tokens
+        prefill tokens and < 0 counts scheduled decode tokens."""
+        num_tokens = 0
+        try:
+            seqs, is_prefill, steps = self.scheduler.schedule(
+                can_drain=bool(self.pending))
+        except NeedDrain:
+            self._drain()
+            out, self._finished = self._finished, []
+            return out, 0
+        if seqs:
+            if is_prefill:
+                tokens = self.model_runner.run_prefill(seqs)
+                num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
+                for s in seqs:
+                    s.num_sched_tokens = s.num_tokens + 1
+            else:
+                tokens = self.model_runner.run_decode(
+                    seqs, steps, self.config.decode_steps_per_call)
+                num_tokens = -sum(steps)
+                for s, k in zip(seqs, steps):
+                    s.num_sched_tokens += k
+            for s in seqs:
+                s.inflight += 1
+            try:  # start the D2H transfer in the background
+                tokens.copy_to_host_async()
+            except Exception:
+                pass
+            self.pending.append((seqs, steps, tokens, is_prefill))
+            while len(self.pending) > self.config.async_lag:
+                self._materialize_one()
+        elif self.pending:
+            self._materialize_one()
+        out, self._finished = self._finished, []
+        return out, num_tokens
 
     def is_finished(self):
-        return self.scheduler.is_finished()
+        return self.scheduler.is_finished() and not self.pending
 
     def exit(self):
         pass
@@ -75,7 +129,7 @@ class LLMEngine:
                 dt = time.perf_counter() - t
                 if num_tokens > 0:
                     prefill_throughput = num_tokens / dt
-                else:
+                elif num_tokens < 0:
                     decode_throughput = -num_tokens / dt
                 pbar.set_postfix({"Prefill": f"{int(prefill_throughput)}tok/s",
                                   "Decode": f"{int(decode_throughput)}tok/s"})

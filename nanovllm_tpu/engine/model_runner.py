@@ -11,16 +11,21 @@ nanovllm/engine/model_runner.py:16-356), redesigned for XLA/TPU:
   batch sizes [1,2,...,512] (model_runner.py:316-356). XLA compiles one
   executable per input shape; we bucket the q-token count and pad, and the
   jit cache plays the role of the graph pool.
-- **One step function.** Prefill and decode are the same ragged computation
-  (decode = one token per sequence); they differ only in bucket shapes, so a
-  single jitted ``_step`` serves both (the reference maintains two prep paths
-  and an eager-vs-graph split, model_runner.py:182-302). This also permits
-  mixed prefill+decode batches.
+- **Multi-step decode, device-fed.** The reference reads sampled tokens back
+  every step (model_runner.py:308-314) — fine over PCIe, fatal over a remote
+  device transport where a round trip costs ~40 ms. Here one jitted call runs
+  K decode steps in a ``lax.scan``: sampled tokens live in a persistent
+  ``last_tokens[max_num_seqs]`` device buffer (indexed by sequence slot) and
+  feed the next step on device; per-step attention metadata (positions,
+  kv_lens, store targets) is *derived on device* from one ``DecodeMeta``
+  upload. The host materializes tokens asynchronously, K steps at a time.
 - **KV cache**: one pooled page buffer [L*P, page_size, 2*Hk, D] donated
-  through every step so XLA updates it in place. Sizing probes device memory
-  stats like the reference's mem_get_info policy (model_runner.py:131-170),
-  falling back to a per-generation HBM table when the PJRT transport doesn't
-  expose stats.
+  through every step so XLA updates it in place. The last logical page of
+  every layer is a garbage page absorbing KV writes of masked-out lanes
+  (sequences whose scheduled steps ran out mid-scan). Sizing probes device
+  memory stats like the reference's mem_get_info policy
+  (model_runner.py:131-170), falling back to a per-generation HBM table when
+  the PJRT transport doesn't expose stats.
 """
 
 import bisect
@@ -36,7 +41,7 @@ from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import qwen3
 from nanovllm_tpu.models.qwen3 import Qwen3StaticConfig
-from nanovllm_tpu.ops.attention import AttnMeta
+from nanovllm_tpu.ops.attention import AttnMeta, DecodeMeta
 from nanovllm_tpu.ops.layers import sample
 from nanovllm_tpu.ops.pallas.kv_store import build_store_tables
 from nanovllm_tpu.utils.loader import load_params
@@ -96,19 +101,32 @@ class ModelRunner:
         # --- KV cache (needs pages_per_layer before the static config) ---
         self._allocate_kv_cache()
 
+        # --- persistent per-slot last-token buffer (device-fed decode) ---
+        self.last_tokens = jnp.zeros((config.max_num_seqs,), jnp.int32)
+
         quant_cfg = None
         if config.quant_type in ("per_tensor", "per_row", "per_group"):
             quant_cfg = (config.quant_type, config.group_size,
                          config.activation_quant, config.linear_dtype)
         self.sc = Qwen3StaticConfig.from_model_config(
             hf, page_size=self.page_size,
-            pages_per_layer=config.num_kvcache_blocks,
+            pages_per_layer=self.pages_per_layer,
             attention_impl=config.attention_impl,
             store_interpret=jax.default_backend() != "tpu",
             quant_cfg=quant_cfg)
 
-        self._step_jit = jax.jit(partial(_step, sc=self.sc), donate_argnums=(1,))
+        self._prefill_jit = jax.jit(partial(_prefill_step, sc=self.sc),
+                                    donate_argnums=(1, 2))
+        self._decode_jits = {}
         self.table_width = (config.max_model_len + self.page_size - 1) // self.page_size
+
+    def _decode_jit(self, num_steps: int):
+        fn = self._decode_jits.get(num_steps)
+        if fn is None:
+            fn = jax.jit(partial(_decode_steps, sc=self.sc, num_steps=num_steps),
+                         donate_argnums=(1, 2))
+            self._decode_jits[num_steps] = fn
+        return fn
 
     # ------------------------------------------------------------------ quant
     def _quantize(self, params):
@@ -134,7 +152,9 @@ class ModelRunner:
 
     def _allocate_kv_cache(self):
         """Size the pooled page cache from device memory (reference policy:
-        model_runner.py:131-170) and allocate it."""
+        model_runner.py:131-170) and allocate it. One extra logical page per
+        layer (the last, id ``num_kvcache_blocks``) is the garbage page for
+        masked-out decode lanes; the block manager never hands it out."""
         cfg = self.config
         hf = cfg.hf_config
         if cfg.num_kvcache_blocks <= 0:
@@ -151,13 +171,14 @@ class ModelRunner:
                 act = cfg.max_num_batched_tokens * hf.hidden_size * 2 * 24
                 logits = cfg.max_num_seqs * hf.vocab_size * 4 * 2
                 budget = int(limit * cfg.gpu_memory_utilization) - in_use - act - logits
-                cfg.num_kvcache_blocks = max(budget, 0) // self._page_bytes()
+                cfg.num_kvcache_blocks = max(budget, 0) // self._page_bytes() - 1
             else:  # CPU / unknown backend: small default for tests
                 cfg.num_kvcache_blocks = max(
                     64, 2 * cfg.max_num_seqs * cfg.max_model_len // self.page_size // 8)
         assert cfg.num_kvcache_blocks > 0, "not enough device memory for KV cache"
+        self.pages_per_layer = cfg.num_kvcache_blocks + 1  # + garbage page
         hf = cfg.hf_config
-        shape = (hf.num_hidden_layers * cfg.num_kvcache_blocks, self.page_size,
+        shape = (hf.num_hidden_layers * self.pages_per_layer, self.page_size,
                  2 * hf.num_key_value_heads, hf.head_dim)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
         self.kv_pages = jnp.zeros(shape, self.kv_dtype, device=sharding)
@@ -166,9 +187,9 @@ class ModelRunner:
                     np.prod(shape) * jnp.dtype(self.kv_dtype).itemsize / 2**30)
 
     # ------------------------------------------------------------------ prep
-    def prepare(self, seqs: list[Sequence], is_prefill: bool) -> tuple[AttnMeta, np.ndarray]:
-        """Unified ragged-batch prep (replaces the reference's prepare_prefill
-        + prepare_decode pair, model_runner.py:182-270)."""
+    def prepare(self, seqs: list[Sequence], is_prefill: bool = True) -> tuple[AttnMeta, np.ndarray]:
+        """Ragged prefill batch prep (reference prepare_prefill,
+        model_runner.py:182-237). Decode prep is prepare_decode."""
         cfg = self.config
         ps = self.page_size
         B = cfg.max_num_seqs
@@ -179,8 +200,7 @@ class ModelRunner:
             # full-page store copies over-read the stream by up to a page
             T = _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps)
         else:
-            # decode: exactly the last token runs (num_cached_tokens is
-            # prefill-time bookkeeping and goes stale as the seq grows)
+            # compat path (sync single-token decode, used by run())
             q_lens = np.ones(len(seqs), np.int64)
             T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
 
@@ -192,6 +212,7 @@ class ModelRunner:
         cu = np.zeros(B + 1, np.int32)
         last_idx = np.zeros(B, np.int32)
         temps = np.zeros(B, np.float32)
+        slot_ids = np.full(B, cfg.max_num_seqs, np.int32)
         q_starts = np.zeros(len(seqs), np.int64)
         cached_lens = np.zeros(len(seqs), np.int64)
 
@@ -206,6 +227,7 @@ class ModelRunner:
             page_indices[i, :len(seq.block_table)] = seq.block_table
             last_idx[i] = qo + nq - 1
             temps[i] = seq.temperature
+            slot_ids[i] = seq.slot if seq.slot is not None else i
             q_starts[i] = qo
             cached_lens[i] = nk - nq
             qo += nq
@@ -223,24 +245,139 @@ class ModelRunner:
             kv_lens=jnp.asarray(kv_lens), page_indices=jnp.asarray(page_indices),
             cu_q_lens=jnp.asarray(cu), num_seqs=jnp.asarray([len(seqs)], dtype=jnp.int32),
             last_token_idx=jnp.asarray(last_idx), temperatures=jnp.asarray(temps),
+            slot_ids=jnp.asarray(slot_ids),
             store_page_src=jnp.asarray(store[0]), store_page_dst=jnp.asarray(store[1]),
             store_row_src=jnp.asarray(store[2]), store_row_dst_page=jnp.asarray(store[3]),
             store_row_dst_pos=jnp.asarray(store[4]), store_counts=jnp.asarray(store[5]))
         return meta, input_ids
 
+    def prepare_decode(self, seqs: list[Sequence], steps: list[int]) -> DecodeMeta:
+        cfg = self.config
+        B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
+        W = self.table_width
+        slot_ids = np.full(B, cfg.max_num_seqs, np.int32)
+        kv_lens = np.zeros(B, np.int32)
+        steps_left = np.zeros(B, np.int32)
+        page_indices = np.zeros((B, W), np.int32)
+        temps = np.zeros(B, np.float32)
+        for i, seq in enumerate(seqs):
+            slot_ids[i] = seq.slot if seq.slot is not None else i
+            kv_lens[i] = seq.num_sched_tokens - 1
+            steps_left[i] = steps[i]
+            page_indices[i, :len(seq.block_table)] = seq.block_table
+            temps[i] = seq.temperature
+        return DecodeMeta(
+            slot_ids=jnp.asarray(slot_ids), kv_lens=jnp.asarray(kv_lens),
+            page_indices=jnp.asarray(page_indices),
+            steps_left=jnp.asarray(steps_left), temperatures=jnp.asarray(temps),
+            num_seqs=jnp.asarray([len(seqs)], jnp.int32))
+
     # ------------------------------------------------------------------ run
-    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+    def _next_key(self):
         self.step_counter += 1
-        key = jax.random.fold_in(self.rng_key, self.step_counter)
-        meta, input_ids = self.prepare(seqs, is_prefill)
-        tokens, self.kv_pages = self._step_jit(
-            self.params, self.kv_pages, meta, jnp.asarray(input_ids), key)
-        return np.asarray(tokens)[: len(seqs)].tolist()
+        return jax.random.fold_in(self.rng_key, self.step_counter)
+
+    def run_prefill(self, seqs: list[Sequence]) -> jax.Array:
+        """Dispatch one prefill call; returns the [B] device token array
+        (sampled first completion token per seq) without blocking."""
+        meta, input_ids = self.prepare(seqs, True)
+        tokens, self.kv_pages, self.last_tokens = self._prefill_jit(
+            self.params, self.kv_pages, self.last_tokens, meta,
+            jnp.asarray(input_ids), self._next_key())
+        return tokens
+
+    def run_decode(self, seqs: list[Sequence], steps: list[int],
+                   num_steps: int) -> jax.Array:
+        """Dispatch one K-step decode call; returns the [K, B] device token
+        matrix without blocking."""
+        dmeta = self.prepare_decode(seqs, steps)
+        tokens, self.kv_pages, self.last_tokens = self._decode_jit(num_steps)(
+            self.params, self.kv_pages, self.last_tokens, dmeta, self._next_key())
+        return tokens
+
+    def seed_last_tokens(self, seqs: list[Sequence]):
+        """Sync-compat: push each seq's host-side last token into its device
+        slot (the async path keeps these device-resident)."""
+        slots = np.asarray([s.slot if s.slot is not None else i
+                            for i, s in enumerate(seqs)], np.int32)
+        vals = np.asarray([s.last_token for s in seqs], np.int32)
+        self.last_tokens = self.last_tokens.at[jnp.asarray(slots)].set(jnp.asarray(vals))
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        """Synchronous single-step API (reference ModelRunner.run,
+        model_runner.py:304-314): blocks and returns one token per seq."""
+        if is_prefill:
+            tokens = self.run_prefill(seqs)
+            return np.asarray(tokens)[: len(seqs)].tolist()
+        self.seed_last_tokens(seqs)
+        for s in seqs:
+            s.num_sched_tokens = s.num_tokens
+        tokens = self.run_decode(seqs, [1] * len(seqs), 1)
+        return np.asarray(tokens)[0, : len(seqs)].tolist()
 
 
-def _step(params, kv_pages, meta, input_ids, key, *, sc):
+# ---------------------------------------------------------------------- steps
+def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc):
+    """One ragged prefill: forward, last-token logits, sample, and scatter the
+    sampled tokens into the persistent per-slot buffer."""
     h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
     h_last = qwen3.select_last_tokens(h, meta)
     logits = qwen3.compute_logits(params, h_last, sc)
     tokens = sample(logits, meta.temperatures, key)
-    return tokens, kv_pages
+    B = tokens.shape[0]
+    active = jnp.arange(B, dtype=jnp.int32) < meta.num_seqs[0]
+    idx = jnp.where(active, meta.slot_ids, last_tokens.shape[0])
+    last_tokens = last_tokens.at[idx].set(tokens, mode="drop")
+    return tokens, kv_pages, last_tokens
+
+
+def _decode_steps(params, kv_pages, last_tokens, dmeta, key, *, sc, num_steps):
+    """K chained decode steps in one jit call (lax.scan). Each step derives
+    its AttnMeta on device: input tokens gather from ``last_tokens`` by slot,
+    positions/kv_lens advance in the carry, and KV-store row targets come from
+    the page table. Lanes whose ``steps_left`` ran out (or padding lanes)
+    write to the per-layer garbage page and stop advancing."""
+    B = dmeta.slot_ids.shape[0]
+    ps = sc.page_size
+    W = dmeta.page_indices.shape[1]
+    garbage = jnp.int32(sc.pages_per_layer - 1)
+    lane = jnp.arange(B, dtype=jnp.int32)
+    num = dmeta.num_seqs[0]
+    slot_gather = jnp.clip(dmeta.slot_ids, 0, last_tokens.shape[0] - 1)
+    cu = jnp.minimum(jnp.arange(B + 1, dtype=jnp.int32), num)
+
+    def body(carry, key_t):
+        kv_pages, last_tokens, kv_lens, t = carry
+        active = (lane < num) & (t < dmeta.steps_left)
+        input_ids = last_tokens[slot_gather]
+        page_slot = jnp.clip(kv_lens // ps, 0, W - 1)
+        dst_page = jnp.take_along_axis(dmeta.page_indices, page_slot[:, None],
+                                       axis=1)[:, 0]
+        meta = AttnMeta(
+            positions=kv_lens,
+            q_segment_ids=jnp.where(active, lane, -1),
+            kv_lens=kv_lens + active.astype(jnp.int32),
+            page_indices=dmeta.page_indices,
+            cu_q_lens=cu,
+            num_seqs=dmeta.num_seqs,
+            last_token_idx=lane,
+            temperatures=dmeta.temperatures,
+            slot_ids=dmeta.slot_ids,
+            store_page_src=jnp.zeros(1, jnp.int32),
+            store_page_dst=jnp.zeros(1, jnp.int32),
+            store_row_src=lane,
+            store_row_dst_page=jnp.where(active, dst_page, garbage),
+            store_row_dst_pos=jnp.where(active, kv_lens % ps, lane % ps),
+            store_counts=jnp.array([0, B], jnp.int32))
+        h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
+        logits = qwen3.compute_logits(params, h, sc)
+        tokens = sample(logits, dmeta.temperatures, key_t)
+        idx = jnp.where(active, dmeta.slot_ids, last_tokens.shape[0])
+        last_tokens = last_tokens.at[idx].set(tokens, mode="drop")
+        kv_lens = kv_lens + active.astype(jnp.int32)
+        return (kv_pages, last_tokens, kv_lens, t + 1), tokens
+
+    keys = jax.random.split(key, num_steps)
+    (kv_pages, last_tokens, _, _), tokens = jax.lax.scan(
+        body, (kv_pages, last_tokens, dmeta.kv_lens, jnp.int32(0)), keys)
+    return tokens, kv_pages, last_tokens

@@ -3,9 +3,17 @@
 Capability parity with the reference Scheduler (reference:
 nanovllm/engine/scheduler.py:15-71): two deques (waiting/running); prefill
 batches bounded by ``max_num_seqs`` and prefix-cache-aware
-``max_num_batched_tokens``; decode batches with per-seq ``can_append`` and
+``max_num_batched_tokens``; decode batches with per-seq block reservation and
 youngest-running preemption on block exhaustion; preempted sequences restart as
 prefills and recover compute via the prefix cache.
+
+Redesigned for the async TPU engine: a decode schedule covers K device steps
+(``decode_steps_per_call``) and reserves KV pages for all of them up front;
+token values materialize later (``postprocess``), which is also where EOS is
+detected and prefix-cache hashes commit. Because the engine runs ahead of
+materialization, destructive decisions (preemption, and any state the engine
+must re-read) require a drained pipeline — ``schedule`` raises ``NeedDrain``
+to ask the engine to materialize pending calls first.
 """
 
 from collections import deque
@@ -15,14 +23,22 @@ from nanovllm_tpu.engine.block_manager import BlockManager
 from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
 
+class NeedDrain(Exception):
+    """Scheduler needs the engine to materialize in-flight calls before it
+    can make a safe decision (e.g. preemption while calls are outstanding)."""
+
+
 class Scheduler:
     def __init__(self, config: Config):
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
         self.eos = config.eos
+        self.decode_steps = config.decode_steps_per_call
         self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        self.free_slots: deque[int] = deque(range(config.max_num_seqs))
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -30,12 +46,21 @@ class Scheduler:
     def add(self, seq: Sequence):
         self.waiting.append(seq)
 
-    def schedule(self) -> tuple[list[Sequence], bool]:
+    def _max_len(self, seq: Sequence) -> int:
+        """Total-token cap for a sequence: prompt + max_tokens, clipped to the
+        model context window."""
+        return min(seq.num_prompt_tokens + seq.max_tokens, self.max_model_len)
+
+    def schedule(self, can_drain: bool = False) -> tuple[list[Sequence], bool, list[int]]:
+        """Returns (seqs, is_prefill, steps). For prefill, steps is [1]*n (one
+        sampled token per seq). Empty seqs means nothing schedulable — the
+        engine should materialize pending calls. Raises NeedDrain when a safe
+        decision needs the pipeline drained first (only if ``can_drain``)."""
         # prefill first (reference: scheduler.py:24-41)
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
-        while self.waiting and num_seqs < self.max_num_seqs:
+        while self.waiting and num_seqs < self.max_num_seqs and self.free_slots:
             seq = self.waiting[0]
             new_tokens = len(seq) - seq.num_cached_tokens
             if (num_batched_tokens + new_tokens > self.max_num_batched_tokens
@@ -45,16 +70,29 @@ class Scheduler:
             self.block_manager.allocate(seq)
             num_batched_tokens += len(seq) - seq.num_cached_tokens
             seq.status = SequenceStatus.RUNNING
+            seq.slot = self.free_slots.popleft()
             self.waiting.popleft()
             self.running.append(seq)
             scheduled.append(seq)
         if scheduled:
-            return scheduled, True
+            return scheduled, True, [1] * len(scheduled)
 
-        # decode (reference: scheduler.py:44-58)
+        # decode (reference: scheduler.py:44-58), K steps per call
+        steps: list[int] = []
+        postponed: list[Sequence] = []
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
-            while not self.block_manager.can_append(seq):
+            k = min(self.decode_steps, self._max_len(seq) - seq.num_sched_tokens)
+            if k <= 0:
+                # fully scheduled; waiting for materialization to finish it
+                postponed.append(seq)
+                continue
+            while not self.block_manager.can_reserve(seq, k):
+                if can_drain:
+                    # materialized finishes may free blocks; retry after drain
+                    self.running.extendleft(reversed(scheduled + [seq]))
+                    self.running.extend(postponed)
+                    raise NeedDrain
                 if self.running:
                     self.preempt(self.running.pop())  # youngest first
                 else:
@@ -63,30 +101,64 @@ class Scheduler:
                     break
             if seq is not None:
                 num_seqs += 1
-                self.block_manager.may_append(seq)
+                self.block_manager.reserve(seq, k)
                 scheduled.append(seq)
-        if not scheduled:
-            # Everything self-preempted (reference would assert here,
-            # scheduler.py:55): retry — the freed blocks may now admit the
-            # preempted seq as a fresh prefill via the prefix cache.
-            if self.waiting and self.block_manager.can_allocate(self.waiting[0]):
-                return self.schedule()
-            raise RuntimeError(
-                "KV cache too small: a single sequence exceeds capacity "
-                f"({self.block_manager.num_free_blocks} free blocks)")
+                steps.append(k)
         self.running.extendleft(reversed(scheduled))
-        return scheduled, False
+        self.running.extend(postponed)
+        if not scheduled and not postponed and self.waiting:
+            if self.block_manager.can_allocate(self.waiting[0]):
+                # Everything self-preempted (reference would assert here,
+                # scheduler.py:55): the freed blocks may now admit the
+                # preempted seq as a fresh prefill via the prefix cache.
+                return self.schedule(can_drain)
+            if not can_drain:
+                raise RuntimeError(
+                    "KV cache too small: a single sequence exceeds capacity "
+                    f"({self.block_manager.num_free_blocks} free blocks)")
+        return scheduled, False, steps
 
     def preempt(self, seq: Sequence):
+        assert seq.inflight == 0, "preempting a sequence with in-flight calls"
         seq.status = SequenceStatus.WAITING
+        seq.num_sched_tokens = seq.num_tokens
+        if seq.slot is not None:
+            self.free_slots.append(seq.slot)
+            seq.slot = None
         self.block_manager.deallocate(seq)
         self.waiting.appendleft(seq)
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]):
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
-            if ((not seq.ignore_eos and token_id == self.eos)
-                    or seq.num_completion_tokens == seq.max_tokens):
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+    def postprocess(self, seqs: list[Sequence], steps: list[int],
+                    token_matrix) -> list[Sequence]:
+        """Materialize one call's sampled tokens: append up to steps[i] tokens
+        per sequence (stopping at EOS / max_tokens), commit full-block hashes
+        to the prefix cache, and finish sequences. Returns newly finished seqs.
+
+        ``token_matrix`` is [K, B] (decode) or [1, B] (prefill) host ints.
+        """
+        finished = []
+        bs = self.block_manager.block_size
+        for i, seq in enumerate(seqs):
+            seq.inflight -= 1
+            for t in range(steps[i]):
+                if seq.is_finished:
+                    break
+                token_id = int(token_matrix[t, i])
+                seq.append_token(token_id)
+                if len(seq) % bs == 0:
+                    self.block_manager.finalize_block(seq)
+                if ((not seq.ignore_eos and token_id == self.eos)
+                        or seq.num_completion_tokens == seq.max_tokens):
+                    seq.status = SequenceStatus.FINISHED
+                    finished.append(seq)
+                    try:
+                        self.running.remove(seq)
+                    except ValueError:
+                        pass
+            if seq.is_finished and seq.inflight == 0:
+                if seq.slot is not None:
+                    self.free_slots.append(seq.slot)
+                    seq.slot = None
+                if seq.block_table:
+                    self.block_manager.deallocate(seq)
+        return finished

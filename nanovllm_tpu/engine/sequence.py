@@ -9,6 +9,12 @@ nanovllm/engine/sequence.py:14-83), redesigned:
 - no pickle-shrinking ``__getstate__``: the TPU engine is single-process per
   host (no per-rank worker processes), so sequences are never serialized on the
   hot path.
+- async-engine state: the engine dispatches device work ahead of token
+  materialization (the tunnel/PCIe round trip is off the hot path), so a
+  sequence tracks ``num_sched_tokens`` (tokens that will exist once all
+  in-flight calls land; ``num_tokens`` counts materialized ones), an
+  ``inflight`` call count gating block deallocation, and a persistent device
+  ``slot`` indexing the on-device last-token buffer.
 """
 
 from enum import Enum, auto
@@ -37,6 +43,9 @@ class Sequence:
         self.num_cached_tokens = 0
         self.block_table: list[int] = []
         self.block_size = block_size
+        self.num_sched_tokens = self.num_tokens
+        self.inflight = 0
+        self.slot: int | None = None
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos

@@ -202,7 +202,10 @@ def compute_logits(params: dict, hidden, sc: Qwen3StaticConfig):
     (reference: nanovllm/layers/embed_head.py:44-66 — last-token narrowing is
     done by the caller via meta.last_token_idx.)"""
     w = params["embed_tokens"] if sc.tie_word_embeddings else params["lm_head"]
-    return jnp.dot(hidden.astype(jnp.float32), w.astype(jnp.float32).T)
+    # bf16 operands, fp32 accumulation/output: full MXU rate (a pre-cast fp32
+    # matmul runs at 1/4+ rate on TPU for no accuracy the accumulator doesn't
+    # already provide)
+    return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
 
 
 def select_last_tokens(hidden, meta):

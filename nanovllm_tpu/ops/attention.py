@@ -47,6 +47,7 @@ class AttnMeta(NamedTuple):
     num_seqs: jax.Array         # i32[1]
     last_token_idx: jax.Array   # i32[B] index into [T] of each seq's last token
     temperatures: jax.Array     # f32[B]
+    slot_ids: jax.Array         # i32[B] persistent sequence slot (last_tokens row)
     # store tables (ops/pallas/kv_store.py)
     store_page_src: jax.Array   # i32[NP]
     store_page_dst: jax.Array   # i32[NP] logical page ids
@@ -54,6 +55,23 @@ class AttnMeta(NamedTuple):
     store_row_dst_page: jax.Array  # i32[NS] logical page ids
     store_row_dst_pos: jax.Array   # i32[NS]
     store_counts: jax.Array     # i32[2]
+
+
+class DecodeMeta(NamedTuple):
+    """Host-built metadata for a multi-step decode call (engine hot loop).
+
+    The per-step ``AttnMeta`` is derived from this *on device* inside the
+    ``lax.scan`` over decode steps (engine/model_runner.py:_decode_steps) —
+    the host round trip per token that serializes GPU-style engines becomes
+    one metadata upload per K steps.
+    """
+
+    slot_ids: jax.Array       # i32[B] row of each seq in the last_tokens buffer
+    kv_lens: jax.Array        # i32[B] tokens already in KV (= position of next)
+    page_indices: jax.Array   # i32[B, W] logical page ids
+    steps_left: jax.Array     # i32[B] how many of the K steps each seq runs
+    temperatures: jax.Array   # f32[B]
+    num_seqs: jax.Array       # i32[1]
 
 
 class DenseMeta(NamedTuple):

@@ -1,12 +1,17 @@
-"""Scheduler unit tests: prefill priority, token budget, preemption."""
+"""Scheduler unit tests: prefill priority, token budget, multi-step
+reservation, EOS-at-materialization, preemption."""
+
+import numpy as np
+import pytest
 
 from nanovllm_tpu.config import Config, ModelConfig
-from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.scheduler import NeedDrain, Scheduler
 from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 from nanovllm_tpu.sampling_params import SamplingParams
 
 
-def make_scheduler(num_blocks=16, max_seqs=8, max_tokens=64, block_size=4):
+def make_scheduler(num_blocks=16, max_seqs=8, max_tokens=64, block_size=4,
+                   decode_steps=1):
     cfg = Config(
         hf_config=ModelConfig(max_position_embeddings=max_tokens),
         max_num_seqs=max_seqs,
@@ -14,6 +19,7 @@ def make_scheduler(num_blocks=16, max_seqs=8, max_tokens=64, block_size=4):
         max_model_len=max_tokens,
         kvcache_block_size=block_size,
         num_kvcache_blocks=num_blocks,
+        decode_steps_per_call=decode_steps,
     )
     return Scheduler(cfg)
 
@@ -28,25 +34,60 @@ def seq(n, **kw):
     return Sequence(list(range(base, base + n)), SamplingParams(**kw), block_size=4)
 
 
+def dispatch(seqs, is_prefill, steps):
+    """The engine-side bookkeeping done right after a device dispatch
+    (engine/llm_engine.py:step)."""
+    for s, k in zip(seqs, steps):
+        if is_prefill:
+            s.num_sched_tokens = s.num_tokens + 1
+        else:
+            s.num_sched_tokens += k
+        s.inflight += 1
+
+
+def run_call(sch, seqs, is_prefill, steps, token_fn=lambda t, i: 100):
+    """dispatch + immediate materialization with tokens token_fn(step, seq_i)."""
+    dispatch(seqs, is_prefill, steps)
+    k = max(steps) if steps else 1
+    mat = np.array([[token_fn(t, i) for i in range(len(seqs))] for t in range(k)])
+    return sch.postprocess(seqs, steps, mat)
+
+
 def test_prefill_batches_up_to_token_budget():
     sch = make_scheduler(num_blocks=32, max_tokens=64)
     for _ in range(3):
         sch.add(seq(30))
-    seqs, is_prefill = sch.schedule()
+    seqs, is_prefill, steps = sch.schedule()
     assert is_prefill and len(seqs) == 2  # 3rd would exceed 64 tokens
-    seqs2, is_prefill2 = sch.schedule()
+    run_call(sch, seqs, True, steps)
+    seqs2, is_prefill2, _ = sch.schedule()
     assert is_prefill2 and len(seqs2) == 1
 
 
 def test_decode_after_prefill():
     sch = make_scheduler()
     sch.add(seq(6))
-    seqs, is_prefill = sch.schedule()
+    seqs, is_prefill, steps = sch.schedule()
     assert is_prefill
-    sch.postprocess(seqs, [99])
-    seqs, is_prefill = sch.schedule()
-    assert not is_prefill and len(seqs) == 1
+    run_call(sch, seqs, True, steps, lambda t, i: 99)
+    seqs, is_prefill, steps = sch.schedule()
+    assert not is_prefill and len(seqs) == 1 and steps == [1]
     assert seqs[0].last_token == 99
+
+
+def test_multi_step_decode_reserves_blocks():
+    sch = make_scheduler(num_blocks=16, decode_steps=6)
+    s = seq(6, max_tokens=32, ignore_eos=True)  # 2 blocks for the prompt
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps)
+    assert len(s) == 7 and s.num_sched_tokens == 7
+    seqs, is_prefill, steps = sch.schedule()
+    assert not is_prefill and steps == [6]
+    # next call stores KV for positions 6..11 → table must cover 12 tokens
+    assert len(s.block_table) == 3
+    dispatch(seqs, False, steps)
+    assert s.num_sched_tokens == 13
 
 
 def test_finish_on_eos_and_max_tokens():
@@ -54,19 +95,79 @@ def test_finish_on_eos_and_max_tokens():
     eos = sch.eos
     sch.add(seq(4, max_tokens=8))
     sch.add(seq(4, max_tokens=1))
-    seqs, _ = sch.schedule()
-    sch.postprocess(seqs, [eos, 5])
+    seqs, _, steps = sch.schedule()
+    finished = run_call(sch, seqs, True, steps, lambda t, i: eos if i == 0 else 5)
     assert seqs[0].status == SequenceStatus.FINISHED  # eos
     assert seqs[1].status == SequenceStatus.FINISHED  # max_tokens
+    assert set(finished) == set(seqs)
     assert sch.is_finished()
+    assert len(sch.free_slots) == sch.max_num_seqs
+    assert sch.block_manager.num_free_blocks == 16
+
+
+def test_eos_mid_scan_truncates():
+    """EOS in the middle of a K-step call: later tokens are discarded."""
+    sch = make_scheduler(decode_steps=4)
+    eos = sch.eos
+    s = seq(4, max_tokens=16)
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps)
+    seqs, _, steps = sch.schedule()
+    assert steps == [4]
+    # tokens: [7, eos, 8, 9] → keep 7, eos; discard the rest
+    finished = run_call(sch, seqs, False, steps,
+                        lambda t, i: [7, eos, 8, 9][t])
+    assert finished == [s]
+    assert s.completion_token_ids == [100, 7, eos]
 
 
 def test_ignore_eos():
     sch = make_scheduler()
     sch.add(seq(4, max_tokens=4, ignore_eos=True))
-    seqs, _ = sch.schedule()
-    sch.postprocess(seqs, [sch.eos])
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps, lambda t, i: sch.eos)
     assert seqs[0].status == SequenceStatus.RUNNING
+
+
+def test_lagged_finish_defers_dealloc_and_slot():
+    """A sequence finishing while a later call is still in flight must keep
+    its blocks and slot until that call materializes."""
+    sch = make_scheduler(decode_steps=2)
+    s = seq(4, max_tokens=5, ignore_eos=True)
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    dispatch(seqs, True, steps)           # call 1 (prefill) in flight
+    seqs2, _, steps2 = sch.schedule()     # call 2 scheduled before call 1 lands
+    assert seqs2 == [s] and steps2 == [2]
+    dispatch(seqs2, False, steps2)
+    seqs3, _, steps3 = sch.schedule()
+    dispatch(seqs3, False, steps3)
+    # materialize call 1; nothing finishes yet
+    assert sch.postprocess(seqs, steps, np.array([[100]])) == []
+    # materialize call 2
+    sch.postprocess(seqs2, steps2, np.array([[101], [102]]))
+    # materialize call 3: seq reaches max_tokens=5 → finishes
+    fin = sch.postprocess(seqs3, steps3, np.array([[103], [104]]))
+    assert fin == [s] and s.inflight == 0
+    assert s.completion_token_ids == [100, 101, 102, 103, 104]
+    assert sch.block_manager.num_free_blocks == 16
+    assert len(sch.free_slots) == sch.max_num_seqs
+
+
+def test_schedule_empty_when_fully_scheduled():
+    """A fully-scheduled-but-unmaterialized seq yields an empty schedule (the
+    engine then drains)."""
+    sch = make_scheduler(decode_steps=8)
+    s = seq(4, max_tokens=3, ignore_eos=True)
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    dispatch(seqs, True, steps)
+    seqs2, _, steps2 = sch.schedule()
+    assert steps2 == [2]  # 3 completion tokens total: 1 from prefill + 2
+    dispatch(seqs2, False, steps2)
+    seqs3, is_prefill3, _ = sch.schedule(can_drain=True)
+    assert seqs3 == [] and not is_prefill3
 
 
 def test_preemption_youngest_first_and_prefix_recovery():
@@ -75,26 +176,44 @@ def test_preemption_youngest_first_and_prefix_recovery():
     a, b = seq(7, max_tokens=9), seq(7)  # a fits 4 blocks exactly (16 tokens)
     sch.add(a)
     sch.add(b)
-    seqs, is_prefill = sch.schedule()
+    seqs, is_prefill, steps = sch.schedule()
     assert len(seqs) == 2
-    sch.postprocess(seqs, [100, 100])  # both now 8 tokens (2 full blocks)
-    seqs, is_prefill = sch.schedule()  # len 8 → no boundary; both decode
+    run_call(sch, seqs, True, steps)  # both now 8 tokens (2 full blocks)
+    seqs, is_prefill, steps = sch.schedule()  # position 7 KV: no new block
     assert len(seqs) == 2 and not is_prefill
-    sch.postprocess(seqs, [100, 100])  # both now 9 tokens → next step crosses
-    # the boundary: each needs a block, none free → youngest (b) preempted
-    seqs, is_prefill = sch.schedule()
+    run_call(sch, seqs, False, steps)  # both now 9 tokens
+    # next call stores position 8's KV → needs a 3rd block each; 0 free →
+    # youngest (b) preempted
+    seqs, is_prefill, steps = sch.schedule()
     assert not is_prefill
     assert seqs == [a]
     assert b.status == SequenceStatus.WAITING
-    sch.postprocess(seqs, [101])
+    run_call(sch, seqs, False, steps, lambda t, i: 101)
     # b restarts as a prefill once a finishes
     while a.status != SequenceStatus.FINISHED:
-        seqs, is_prefill = sch.schedule()
+        seqs, is_prefill, steps = sch.schedule()
         if not seqs:
             break
-        sch.postprocess(seqs, [102] * len(seqs))
-    seqs, is_prefill = sch.schedule()
+        run_call(sch, seqs, is_prefill, steps, lambda t, i: 102)
+    seqs, is_prefill, steps = sch.schedule()
     assert is_prefill and seqs == [b]
-    # b re-prefills its full 9 tokens (its cached blocks were recycled by a's
+    # b re-prefills its full 8 tokens (its cached blocks were recycled by a's
     # decode growth here; block-level revival is covered in test_block_manager)
     assert len(b) == 9 and b.num_cached_tokens % 4 == 0
+
+
+def test_preemption_blocked_by_inflight_raises_needdrain():
+    sch = make_scheduler(num_blocks=4, max_tokens=32)
+    a, b = seq(7, max_tokens=9), seq(7)
+    sch.add(a)
+    sch.add(b)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, False, steps)  # both at 9 tokens: block pressure next
+    # pretend another call is still in flight → preemption must wait
+    with pytest.raises(NeedDrain):
+        sch.schedule(can_drain=True)
+    # drained: preemption proceeds
+    seqs, is_prefill, steps = sch.schedule(can_drain=False)
+    assert seqs == [a] and b.status == SequenceStatus.WAITING
