@@ -15,20 +15,8 @@ from random import randint, seed
 BASELINE_TOK_S = 1434.13  # reference README.md:57-61
 
 
-def get_model_path() -> str:
-    path = os.environ.get("NANOVLLM_TPU_MODEL",
-                          os.path.expanduser("~/huggingface/Qwen3-0.6B/"))
-    if os.path.isdir(path):
-        return path
-    from nanovllm_tpu.config import ModelConfig
-    from nanovllm_tpu.utils.loader import save_synthetic_checkpoint
-    synth = "/tmp/nanovllm_tpu_synth/qwen3-0.6b"
-    if not os.path.isfile(os.path.join(synth, "model.safetensors")):
-        save_synthetic_checkpoint(synth, ModelConfig(), seed=0)
-    return synth
-
-
 def main():
+    from nanovllm_tpu.utils.model_path import get_model_path
     from nanovllm_tpu import LLM, SamplingParams
 
     seed(0)

@@ -1,0 +1,269 @@
+"""Quantization experiment harness: MMLU / PPL / throughput / matmul-error
+grids with resumable JSONL results.
+
+Port of the reference harness (reference: experiments.py:33-508): the same
+CLI (``--real --quant {tensor,row,group,smooth} --dtype {bf16,int8,fp8}
+--group-size --test {mmlu,ppl,throughput,matmul} --save``), the same
+``ExperimentResults`` semantics (dedup/update by config key, atomic
+tmp-file-replace JSONL rewrite), and the same four experiments, driving the
+TPU engine instead of CUDA. ``--quant smooth`` maps to dynamic-activation
+per-row W8A8 (the semantics of the reference's torchao
+``Int8DynamicActivationInt8WeightConfig``, reference: quantization.py:516-524,
+without the torch dependency)."""
+
+import argparse
+import json
+import random
+import time
+from datetime import datetime
+from functools import partial
+from pathlib import Path
+
+
+class ExperimentResults:
+    """JSONL result store, dedup/update by config key
+    (reference: experiments.py:33-101)."""
+
+    def __init__(self, filepath):
+        self.filepath = Path(filepath)
+        self.results = {}
+        self._load()
+
+    def _load(self):
+        if self.filepath.exists():
+            with open(self.filepath) as f:
+                for line in f:
+                    if line.strip():
+                        result = json.loads(line)
+                        self.results[self._get_config_key(result)] = result
+            print(f"loaded {len(self.results)} results from {self.filepath}")
+
+    def _get_config_key(self, result):
+        key_parts = [
+            result.get("test", ""),
+            result.get("real", False),
+            result.get("quant", ""),
+            result.get("dtype", ""),
+            str(result.get("group_size", "")),
+        ]
+        return "|".join(str(p) for p in key_parts)
+
+    def save_or_update(self, result):
+        config_key = self._get_config_key(result)
+        is_new = config_key not in self.results
+        result["timestamp"] = datetime.now().isoformat()
+        self.results[config_key] = result
+        self._write_to_jsonl()
+        print(f"result {'saved' if is_new else 'updated'} → {self.filepath}")
+
+    def _write_to_jsonl(self):
+        temp_file = self.filepath.with_suffix(".tmp")
+        with open(temp_file, "w") as f:
+            for result in self.results.values():
+                f.write(json.dumps(result, ensure_ascii=False) + "\n")
+        temp_file.replace(self.filepath)
+
+    def exists(self, test, real, quant, dtype, group_size=None):
+        key = "|".join(str(p) for p in [test, real, quant, dtype, str(group_size)])
+        return key in self.results
+
+
+def _base_result(args):
+    return {
+        "test": args.test, "real": args.real, "quant": args.quant,
+        "dtype": args.dtype,
+        "group_size": args.group_size if args.quant == "group" else None,
+    }
+
+
+def mmlu(args, quant_kwargs, results_manager):
+    import test_mmlu
+    r = test_mmlu.main(quant_kwargs=quant_kwargs)
+    result = _base_result(args) | {
+        "accuracy": r["accuracy"], "correct": r["correct"], "total": r["total"],
+        "time": r["time"], "samples_per_sec": r["samples_per_sec"],
+        "synthetic_data": r["synthetic_data"],
+    }
+    results_manager.save_or_update(result)
+
+
+def wikitext(args, quant_kwargs, results_manager):
+    import test_ppl
+    r = test_ppl.main(quant_kwargs=quant_kwargs)
+    result = _base_result(args) | {
+        "ppl": r["ppl"], "total_tokens": r["total_tokens"], "time": r["time"],
+        "synthetic_data": r["synthetic_data"],
+    }
+    results_manager.save_or_update(result)
+
+
+def throughput(args, quant_kwargs, results_manager):
+    """Separate prefill / decode throughput on repeated filler text
+    (reference: experiments.py:263-342)."""
+    from nanovllm_tpu import LLM, SamplingParams
+    from nanovllm_tpu.utils.data import SyntheticTokenizer
+    from nanovllm_tpu.utils.model_path import get_model_path
+
+    llm = LLM(get_model_path(), max_model_len=4096, **quant_kwargs)
+    if llm.tokenizer is None:
+        llm.tokenizer = SyntheticTokenizer(llm.config.hf_config.vocab_size,
+                                           llm.config.hf_config.eos_token_id)
+    random.seed(42)
+    num_samples = args.num_samples
+    prompt_length = args.prompt_length
+
+    prompts = []
+    for _ in range(num_samples):
+        fake_text = "The quick brown fox jumps over the lazy dog. " * (prompt_length // 10 + 1)
+        prompts.append(fake_text[: prompt_length * 3])
+
+    print(f"prefill throughput: {num_samples} samples, ~{prompt_length} tokens each")
+    t = time.time()
+    llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=1), use_tqdm=True)
+    elapsed_prefill = time.time() - t
+    prefill_samples_per_sec = num_samples / elapsed_prefill
+    prefill_tokens_per_sec = num_samples * prompt_length / elapsed_prefill
+    print(f"  {elapsed_prefill:.2f}s, {prefill_samples_per_sec:.2f} samples/s, "
+          f"{prefill_tokens_per_sec:.2f} tok/s")
+
+    print(f"decode throughput: {num_samples} samples x {args.generate_length} tokens")
+    short_prompts = [p[: args.generate_prompt_length] for p in prompts]
+    t = time.time()
+    outs = llm.generate(short_prompts,
+                        SamplingParams(temperature=0.0, max_tokens=args.generate_length,
+                                       ignore_eos=True), use_tqdm=True)
+    elapsed_decode = time.time() - t
+    total_generated = sum(len(o["token_ids"]) for o in outs)
+    decode_tokens_per_sec = total_generated / elapsed_decode
+    print(f"  {elapsed_decode:.2f}s, {total_generated} tokens, "
+          f"{decode_tokens_per_sec:.2f} tok/s")
+
+    result = _base_result(args) | {
+        "num_samples": num_samples, "prompt_length": prompt_length,
+        "generate_prompt_length": args.generate_prompt_length,
+        "generate_length": args.generate_length,
+        "prefill_time": elapsed_prefill,
+        "prefill_samples_per_sec": prefill_samples_per_sec,
+        "prefill_tokens_per_sec": prefill_tokens_per_sec,
+        "decode_time": elapsed_decode,
+        "decode_tokens_per_sec": decode_tokens_per_sec,
+        "total_generated_tokens": total_generated,
+    }
+    results_manager.save_or_update(result)
+
+
+def matmul_test(args, quant_kwargs, results_manager):
+    """Quantization error of a plain matmul vs fp32 (reference:
+    experiments.py:345-438)."""
+    import jax
+    import jax.numpy as jnp
+    from nanovllm_tpu.ops import quantization as q
+
+    M, N, K = args.matmul_shape
+    dtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn, "bf16": None}[args.dtype]
+    max_errors, mean_errors, rel_errors = [], [], []
+    for i in range(args.num_tests):
+        ka, kb = jax.random.split(jax.random.key(i))
+        A = jax.random.normal(ka, (M, K), jnp.float32)
+        B = jax.random.normal(kb, (K, N), jnp.float32)
+        C_ref = A @ B
+        if args.dtype == "bf16":
+            C = (A.astype(jnp.bfloat16) @ B.astype(jnp.bfloat16)).astype(jnp.float32)
+        elif args.real and args.quant == "row":
+            a_q, sa = q.quant_act_per_row(A, dtype)
+            b_q, sb = q.per_row_quant(B, dtype)
+            C = q.w8a8_matmul(a_q, sa, b_q, sb, out_dtype=jnp.float32)
+        elif args.real and args.quant == "group":
+            b_q, sb = q.per_group_quant(B, args.group_size, dtype)
+            C = q.weight_only_matmul(A, b_q, sb, args.group_size, jnp.float32)
+        elif args.real:  # tensor
+            b_q, sb = q.per_tensor_quant(B, dtype)
+            C = q.weight_only_matmul(A, b_q, sb, None, jnp.float32)
+        else:  # fake quant both operands (reference path, experiments.py:364-392)
+            if args.quant == "row":
+                A_t, B_t = q.fake_per_row_quant(A, dtype), q.fake_per_row_quant(B, dtype)
+            elif args.quant == "group":
+                A_t = q.fake_per_group_quant(A, args.group_size, dtype)
+                B_t = q.fake_per_group_quant(B, args.group_size, dtype)
+            else:
+                A_t, B_t = q.fake_per_tensor_quant(A, dtype), q.fake_per_tensor_quant(B, dtype)
+            C = A_t @ B_t
+        err = jnp.abs(C - C_ref)
+        max_errors.append(float(jnp.max(err)))
+        mean_errors.append(float(jnp.mean(err)))
+        rel_errors.append(float(jnp.mean(err) / (jnp.mean(jnp.abs(C_ref)) + 1e-9)))
+
+    result = _base_result(args) | {
+        "matmul_shape": [M, N, K], "num_tests": args.num_tests,
+        "avg_max_error": sum(max_errors) / len(max_errors),
+        "avg_mean_error": sum(mean_errors) / len(mean_errors),
+        "avg_relative_error": sum(rel_errors) / len(rel_errors),
+    }
+    print(f"matmul {M}x{N}x{K}: mean abs err {result['avg_mean_error']:.4f}, "
+          f"rel {result['avg_relative_error']:.4f}")
+    results_manager.save_or_update(result)
+
+
+def build_quant_kwargs(args) -> dict:
+    """Map the reference CLI surface onto engine Config kwargs
+    (reference: experiments.py:462-495 → nanovllm/config.py:22-25)."""
+    from nanovllm_tpu.ops import quantization as q
+
+    linear_dtype = {"bf16": "bfloat16", "int8": "int8", "fp8": "fp8"}[args.dtype]
+    if args.quant is None:
+        return {"linear_dtype": linear_dtype} if args.dtype != "bf16" else {}
+    if args.real:
+        quant_type = {"tensor": "per_tensor", "row": "per_row",
+                      "group": "per_group", "smooth": "smoothquant"}[args.quant]
+        return {"quant_type": quant_type, "linear_dtype": linear_dtype,
+                "group_size": args.group_size}
+    assert args.quant != "smooth", "smoothquant must be real (add --real)"
+    dtype = q.storage_dtype(linear_dtype)
+    fn = {
+        "tensor": partial(q.fake_per_tensor_quant, dtype=dtype),
+        "row": partial(q.fake_per_row_quant, dtype=dtype),
+        "group": partial(q.fake_per_group_quant, group_size=args.group_size, dtype=dtype),
+    }[args.quant]
+    return {"weight_quant_fn": fn, "linear_dtype": "bfloat16"}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--real", action="store_true", default=False)
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=["tensor", "row", "group", "smooth"])
+    parser.add_argument("--dtype", type=str, default="bf16",
+                        choices=["bf16", "int8", "fp8"])
+    parser.add_argument("--group-size", type=int, default=64,
+                        choices=[64, 128, 256, 512])
+    parser.add_argument("--test", type=str, default="mmlu",
+                        choices=["mmlu", "ppl", "throughput", "matmul"])
+    parser.add_argument("--save", type=str, default="results.jsonl")
+    # throughput test
+    parser.add_argument("--num-samples", type=int, default=100)
+    parser.add_argument("--prompt-length", type=int, default=1000)
+    parser.add_argument("--generate-prompt-length", type=int, default=1)
+    parser.add_argument("--generate-length", type=int, default=1000)
+    # matmul test
+    parser.add_argument("--matmul-shape", type=int, nargs=3, default=[4096, 4096, 4096])
+    parser.add_argument("--num-tests", type=int, default=10)
+    args = parser.parse_args()
+
+    print(f"test: {args.test}, real: {args.real}, quant: {args.quant}, "
+          f"dtype: {args.dtype}"
+          + (f" group size: {args.group_size}" if args.quant == "group" else ""))
+    results_manager = ExperimentResults(args.save)
+    quant_kwargs = build_quant_kwargs(args)
+
+    if args.test == "mmlu":
+        mmlu(args, quant_kwargs, results_manager)
+    elif args.test == "ppl":
+        wikitext(args, quant_kwargs, results_manager)
+    elif args.test == "throughput":
+        throughput(args, quant_kwargs, results_manager)
+    elif args.test == "matmul":
+        matmul_test(args, quant_kwargs, results_manager)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,12 @@ class ModelRunner:
         self.last_tokens = jnp.zeros((config.max_num_seqs,), jnp.int32)
 
         quant_cfg = None
-        if config.quant_type in ("per_tensor", "per_row", "per_group"):
+        if config.quant_type == "smoothquant":
+            # dynamic-activation per-row W8A8 — the semantics of the
+            # reference's torchao Int8DynamicActivation*WeightConfig
+            # (reference: quantization.py:516-524)
+            quant_cfg = ("per_row", config.group_size, True, config.linear_dtype)
+        elif config.quant_type in ("per_tensor", "per_row", "per_group"):
             quant_cfg = (config.quant_type, config.group_size,
                          config.activation_quant, config.linear_dtype)
         self.sc = Qwen3StaticConfig.from_model_config(
@@ -134,6 +139,9 @@ class ModelRunner:
         from nanovllm_tpu.ops import quantization as q
         if cfg.weight_quant_fn is not None:
             params = q.apply_weight_fake_quant(params, cfg.weight_quant_fn)
+        elif cfg.quant_type == "smoothquant":
+            params = q.apply_weight_quant(params, "per_row", cfg.group_size,
+                                          cfg.linear_dtype)
         elif cfg.quant_type in ("per_tensor", "per_row", "per_group"):
             params = q.apply_weight_quant(params, cfg.quant_type, cfg.group_size,
                                           cfg.linear_dtype)

@@ -196,6 +196,15 @@ def dense_forward(params: dict, input_ids, positions, sc: Qwen3StaticConfig):
     return h
 
 
+def dense_forward_batch(params: dict, input_ids, sc: Qwen3StaticConfig):
+    """Batched cache-free forward: [B, T] → [B, T, H] (vmap of dense_forward;
+    the teacher-forcing eval path batches independent windows,
+    cf. reference test_ppl.py:50-57 which feeds them one at a time)."""
+    T = input_ids.shape[1]
+    positions = jnp.arange(T, dtype=jnp.int32)
+    return jax.vmap(lambda ids: dense_forward(params, ids, positions, sc))(input_ids)
+
+
 def compute_logits(params: dict, hidden, sc: Qwen3StaticConfig):
     """LM head over selected hidden states [B, H] → [B, V] in fp32.
 
