@@ -22,10 +22,8 @@ try:  # xxhash is the reference's choice (block_manager.py:2); optional here
     def _hash_impl(data: bytes) -> int:
         return xxhash.xxh64(data).intdigest()
 except ImportError:  # pragma: no cover
-    from hashlib import blake2b
-
-    def _hash_impl(data: bytes) -> int:
-        return int.from_bytes(blake2b(data, digest_size=8).digest(), "little")
+    # in-repo native XXH64 (csrc/nanovllm_core.cpp), blake2b last resort
+    from nanovllm_tpu.utils.native import xxh64 as _hash_impl
 
 
 def compute_hash(token_ids: list[int], prefix: int = -1) -> int:
@@ -92,11 +90,16 @@ class BlockManager:
         list if still resident.
         """
         assert not seq.block_table
-        h = -1
+        # bulk-hash all full blocks in one native call (csrc/nanovllm_core.cpp
+        # nvt_chain_block_hashes; same chain as the reference's per-block loop)
+        from nanovllm_tpu.utils.native import chain_block_hashes
+        n_full = len(seq) // self.block_size
+        full_hashes = chain_block_hashes(
+            seq.token_ids[: n_full * self.block_size], self.block_size, -1)
         cache_miss = False
         for i in range(seq.num_blocks):
             token_ids = seq.block(i)
-            h = compute_hash(token_ids, h) if len(token_ids) == self.block_size else -1
+            h = full_hashes[i] if i < n_full else -1
             block_id = self.hash_to_block_id.get(h, -1)
             if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
                 cache_miss = True

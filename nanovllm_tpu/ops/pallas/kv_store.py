@@ -165,6 +165,11 @@ def build_store_tables(q_starts, q_lens, cached_lens, block_tables, page_size,
     cached_lens: tokens already present (page-multiple, or len-1 for the
     recompute-last-token case); block_tables: logical page ids per seq.
     """
+    from nanovllm_tpu.utils.native import build_store_tables_native
+    native = build_store_tables_native(q_starts, q_lens, cached_lens,
+                                       block_tables, page_size, np_items, ns_items)
+    if native is not None:
+        return native
     page_src = np.zeros(np_items, np.int32)
     page_dst = np.zeros(np_items, np.int32)
     row_src = np.zeros(ns_items, np.int32)
