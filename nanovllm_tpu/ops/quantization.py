@@ -32,6 +32,17 @@ INT8_MAX = 127.0
 
 _EPS = 1e-8
 
+_BACKEND = None
+
+
+def _on_tpu() -> bool:
+    """Lazy backend check (import-time jax.default_backend() would initialize
+    the backend before the engine wants to)."""
+    global _BACKEND
+    if _BACKEND is None:
+        _BACKEND = jax.default_backend()
+    return _BACKEND == "tpu"
+
 
 def _qmax(dtype) -> float:
     return INT8_MAX if dtype == jnp.int8 else FP8_MAX
@@ -120,6 +131,10 @@ def weight_only_matmul(x, w_q, scale, group_size=None, out_dtype=None):
     out_dtype = out_dtype or x.dtype
     K, N = w_q.shape
     if scale.ndim == 2:  # per-group
+        if _on_tpu():
+            from nanovllm_tpu.ops.pallas.quant_matmul import group_dequant_matmul
+            return group_dequant_matmul(x, w_q, scale, group_size=group_size,
+                                        out_dtype=out_dtype)
         w = (w_q.astype(jnp.float32).reshape(K // group_size, group_size, N)
              * scale[:, None, :]).reshape(K, N)
         return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(out_dtype)

@@ -126,3 +126,20 @@ def test_quantized_engine_generates(tiny_checkpoint, quant_type, rng):
     out2 = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
     assert len(out1) == 8 and out1 == out2
     assert all(0 <= t < 512 for t in out1)
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
+@pytest.mark.parametrize("T,N,K,g", [(48, 384, 256, 64), (128, 512, 512, 128)])
+def test_pallas_group_dequant_matmul_interpret(T, N, K, g, dtype):
+    """The fused Pallas per-group kernel (interpret mode on CPU) matches the
+    XLA dequant-matmul formulation."""
+    from nanovllm_tpu.ops.pallas.quant_matmul import group_dequant_matmul
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    w_q, scale = q.per_group_quant(w, g, dtype)
+    want = q.weight_only_matmul(x, w_q, scale, g, jnp.float32)
+    got = group_dequant_matmul(x, w_q, scale, group_size=g,
+                               out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    assert _rel_err(got, x @ w) < 0.1
