@@ -224,23 +224,26 @@ class ModelRunner:
         q_starts = np.zeros(len(seqs), np.int64)
         cached_lens = np.zeros(len(seqs), np.int64)
 
-        qo = 0
+        n = len(seqs)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(q_lens, out=starts[1:])
+        qo = int(starts[-1])
+        q_starts[:] = starts[:-1]
+        kv_lens[:n] = [len(s) for s in seqs]
+        cached_lens[:] = kv_lens[:n] - q_lens
+        # vectorized ragged position/segment fill: positions of seq i run
+        # cached_i .. kv_i-1 at stream offset starts[i]
+        q_seg[:qo] = np.repeat(np.arange(n, dtype=np.int32), q_lens)
+        positions[:qo] = (np.arange(qo, dtype=np.int64)
+                          + np.repeat(cached_lens - starts[:-1], q_lens))
+        last_idx[:n] = starts[1:] - 1
         for i, seq in enumerate(seqs):
-            nq = int(q_lens[i])
-            nk = len(seq)
-            input_ids[qo:qo + nq] = seq.token_ids[nk - nq:]
-            positions[qo:qo + nq] = np.arange(nk - nq, nk, dtype=np.int32)
-            q_seg[qo:qo + nq] = i
-            kv_lens[i] = nk
+            input_ids[starts[i]:starts[i + 1]] = seq.token_ids[int(cached_lens[i]):]
             page_indices[i, :len(seq.block_table)] = seq.block_table
-            last_idx[i] = qo + nq - 1
             temps[i] = seq.temperature
             slot_ids[i] = seq.slot if seq.slot is not None else i
-            q_starts[i] = qo
-            cached_lens[i] = nk - nq
-            qo += nq
-        cu[1:len(seqs) + 1] = np.cumsum(q_lens)
-        cu[len(seqs) + 1:] = qo
+        cu[1:n + 1] = starts[1:]
+        cu[n + 1:] = qo
 
         # fixed store-table capacities so meta shapes don't add compile keys
         NP = cfg.max_num_batched_tokens // ps + B

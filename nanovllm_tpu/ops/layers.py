@@ -77,12 +77,19 @@ def linear_apply(p: dict, x, *, quant_cfg=None):
       - ``{"w_q", "scale"}`` scale [N]:         per-row (per-out-channel)
       - ``{"w_q", "scale"}`` scale scalar:      per-tensor
       - ``{"w_q", "scale"}`` scale [K/g, N]:    per-group along K
+    plus an optional ``"b"`` bias [N] (Qwen2-family QKV projections;
+    cf. reference linear.py:28-31 — under SPMD the partitioner places the add
+    after the implicit row-parallel reduction, so no rank-0-only guard).
     Quantized dispatch lives in ops.quantization to keep this file dense-only.
     """
     if "w" in p:
-        return x @ p["w"]
-    from nanovllm_tpu.ops import quantization as q
-    return q.quant_linear_apply(p, x, quant_cfg)
+        out = x @ p["w"]
+    else:
+        from nanovllm_tpu.ops import quantization as q
+        out = q.quant_linear_apply(p, x, quant_cfg)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
 
 
 def sample(logits, temperatures, key):

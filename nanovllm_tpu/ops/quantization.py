@@ -222,7 +222,10 @@ def apply_weight_quant(params: dict, quant_type: str, group_size: int,
             w_q, scale = per_row_quant(w, dtype)
         else:
             w_q, scale = per_group_quant(w, group_size, dtype)
-        layers[site] = {"w_q": w_q, "scale": scale}
+        new = {"w_q": w_q, "scale": scale}
+        if "b" in layers[site]:
+            new["b"] = layers[site]["b"]  # Qwen2 QKV bias stays bf16
+        layers[site] = new
     params["layers"] = layers
     return params
 
@@ -233,6 +236,9 @@ def apply_weight_fake_quant(params: dict, fn) -> dict:
     params = dict(params)
     layers = dict(params["layers"])
     for site in _LINEAR_SITES:
-        layers[site] = {"w": fn(layers[site]["w"])}
+        new = {"w": fn(layers[site]["w"])}
+        if "b" in layers[site]:
+            new["b"] = layers[site]["b"]
+        layers[site] = new
     params["layers"] = layers
     return params

@@ -36,13 +36,13 @@ def make_mesh(data: int = 1, model: int | None = None, devices=None) -> Mesh:
 # Leading L (stacked layers) axis is never sharded. Weights are [L, in, out].
 _LAYER_RULES = [
     (r"qkv_proj", {"w": P(None, None, "model"), "w_q": P(None, None, "model"),
-                   "scale": "out", "zero": "out"}),
+                   "b": P(None, "model"), "scale": "out", "zero": "out"}),
     (r"gate_up_proj", {"w": P(None, None, "model"), "w_q": P(None, None, "model"),
-                       "scale": "out", "zero": "out"}),
+                       "b": P(None, "model"), "scale": "out", "zero": "out"}),
     (r"o_proj", {"w": P(None, "model", None), "w_q": P(None, "model", None),
-                 "scale": "in", "zero": "in"}),
+                 "b": P(), "scale": "in", "zero": "in"}),
     (r"down_proj", {"w": P(None, "model", None), "w_q": P(None, "model", None),
-                    "scale": "in", "zero": "in"}),
+                    "b": P(), "scale": "in", "zero": "in"}),
 ]
 
 
@@ -73,7 +73,7 @@ class ShardingPlan:
             for pat, rules in _LAYER_RULES:
                 if re.search(pat, path):
                     leaf_name = path.rsplit("/", 1)[-1]
-                    if leaf_name in ("w", "w_q"):
+                    if leaf_name in ("w", "w_q", "b"):
                         return rules[leaf_name]
                     if leaf_name in ("scale", "zero"):
                         return _scale_spec(leaf_name, leaf.ndim, rules["scale"])

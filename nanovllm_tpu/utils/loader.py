@@ -58,12 +58,17 @@ def pack_params(raw: dict, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
 
     layers = {k: [] for k in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj",
                               "q_norm", "k_norm", "input_ln", "post_ln")}
+    qkv_bias = []
     for i in range(L):
         p = f"model.layers.{i}."
         q = linear_t(p + "self_attn.q_proj.weight")
         k = linear_t(p + "self_attn.k_proj.weight")
         v = linear_t(p + "self_attn.v_proj.weight")
         layers["qkv_proj"].append(np.concatenate([q, k, v], axis=1))
+        if f"{p}self_attn.q_proj.bias" in raw:  # Qwen2-family attention bias
+            qkv_bias.append(np.concatenate([get(p + "self_attn.q_proj.bias"),
+                                            get(p + "self_attn.k_proj.bias"),
+                                            get(p + "self_attn.v_proj.bias")]))
         layers["o_proj"].append(linear_t(p + "self_attn.o_proj.weight"))
         gate = linear_t(p + "mlp.gate_proj.weight")
         up = linear_t(p + "mlp.up_proj.weight")
@@ -81,10 +86,13 @@ def pack_params(raw: dict, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
     def stack(name, xs):
         return jnp.asarray(np.stack(xs), dtype=dtype)
 
+    qkv = {"w": stack("qkv", layers["qkv_proj"])}
+    if qkv_bias:
+        qkv["b"] = stack("qkv_b", qkv_bias)
     params = {
         "embed_tokens": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
         "layers": {
-            "qkv_proj": {"w": stack("qkv", layers["qkv_proj"])},
+            "qkv_proj": qkv,
             "o_proj": {"w": stack("o", layers["o_proj"])},
             "gate_up_proj": {"w": stack("gu", layers["gate_up_proj"])},
             "down_proj": {"w": stack("dn", layers["down_proj"])},
