@@ -92,7 +92,7 @@ class Config:
     weight_quant_fn: object = None           # fake-quant callable applied to weights
     quant_type: str | None = None            # per_tensor | per_row | per_group | smoothquant
     group_size: int = 128
-    kv_cache_dtype: str = "auto"             # auto (=model dtype) | int8 (extension)
+    kv_cache_dtype: str = "auto"             # auto (=model dtype); int8 reserved
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
 
     # --- TPU-specific ---

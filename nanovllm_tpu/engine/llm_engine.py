@@ -14,6 +14,7 @@ commits happen at materialization, lagging by at most
 ``async_lag * decode_steps_per_call`` tokens of (discarded) speculative work.
 """
 
+import os
 import time
 from collections import deque
 from dataclasses import fields
@@ -45,6 +46,11 @@ class LLMEngine:
         # in-flight device calls: (seqs, steps, device_tokens, is_prefill)
         self.pending: deque = deque()
         self._finished: list[tuple[int, list[int]]] = []
+        # step-level observability (the reference's only signal is a tqdm
+        # postfix, reference: llm_engine.py:76-84)
+        self.metrics = {"prefill_tokens": 0, "decode_tokens": 0,
+                        "prefill_calls": 0, "decode_calls": 0,
+                        "preemptions": 0, "requests_finished": 0}
 
     def add_request(self, prompt, sampling_params: SamplingParams = SamplingParams()):
         if isinstance(prompt, str):
@@ -62,6 +68,7 @@ class LLMEngine:
             mat = mat[None, :]
         for seq in self.scheduler.postprocess(seqs, steps, mat):
             self._finished.append((seq.seq_id, seq.completion_token_ids))
+            self.metrics["requests_finished"] += 1
 
     def _drain(self):
         while self.pending:
@@ -85,12 +92,16 @@ class LLMEngine:
                 num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
                 for s in seqs:
                     s.num_sched_tokens = s.num_tokens + 1
+                self.metrics["prefill_tokens"] += num_tokens
+                self.metrics["prefill_calls"] += 1
             else:
                 tokens = self.model_runner.run_decode(
                     seqs, steps, self.config.decode_steps_per_call)
                 num_tokens = -sum(steps)
                 for s, k in zip(seqs, steps):
                     s.num_sched_tokens += k
+                self.metrics["decode_tokens"] += sum(steps)
+                self.metrics["decode_calls"] += 1
             for s in seqs:
                 s.inflight += 1
             try:  # start the D2H transfer in the background
@@ -102,6 +113,7 @@ class LLMEngine:
                 self._materialize_one()
         elif self.pending:
             self._materialize_one()
+        self.metrics["preemptions"] = self.scheduler.num_preemptions
         out, self._finished = self._finished, []
         return out, num_tokens
 
@@ -113,7 +125,22 @@ class LLMEngine:
 
     def generate(self, prompts, sampling_params, use_tqdm: bool = True) -> list[dict]:
         """Batch generation (reference: llm_engine.py:59-93): returns
-        [{"text", "token_ids"}] ordered like the input prompts."""
+        [{"text", "token_ids"}] ordered like the input prompts.
+
+        Set ``NANOVLLM_TPU_PROFILE=<dir>`` to capture a jax.profiler trace of
+        the whole batch (viewable in XProf/TensorBoard)."""
+        profile_dir = os.environ.get("NANOVLLM_TPU_PROFILE")
+        if profile_dir:
+            import jax
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._generate(prompts, sampling_params, use_tqdm)
+        finally:
+            if profile_dir:
+                import jax
+                jax.profiler.stop_trace()
+
+    def _generate(self, prompts, sampling_params, use_tqdm: bool) -> list[dict]:
         if use_tqdm:
             pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
         if not isinstance(sampling_params, list):

@@ -76,7 +76,12 @@ class ModelRunner:
         hf = config.hf_config
         self.page_size = config.kvcache_block_size
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        self.kv_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else self.dtype
+        if config.kv_cache_dtype != "auto":
+            # Quantized KV needs a dequantizing attention kernel + a scale
+            # page pool; not wired up yet (the reference has no KV quant
+            # either — this stays an honest extension point).
+            raise NotImplementedError("kv_cache_dtype != 'auto' not implemented")
+        self.kv_dtype = self.dtype
         self.mesh = mesh
         self.rng_key = jax.random.key(0)
         self.step_counter = 0

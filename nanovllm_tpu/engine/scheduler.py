@@ -39,6 +39,7 @@ class Scheduler:
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.free_slots: deque[int] = deque(range(config.max_num_seqs))
+        self.num_preemptions = 0
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -120,6 +121,7 @@ class Scheduler:
 
     def preempt(self, seq: Sequence):
         assert seq.inflight == 0, "preempting a sequence with in-flight calls"
+        self.num_preemptions += 1
         seq.status = SequenceStatus.WAITING
         seq.num_sched_tokens = seq.num_tokens
         if seq.slot is not None:
