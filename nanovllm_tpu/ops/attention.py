@@ -91,9 +91,19 @@ def combine_kv(k, v):
 
 def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
              pages_per_layer: int, interpret: bool = False):
-    """Write new combined K/V rows into layer ``layer_idx``'s pages."""
-    from nanovllm_tpu.ops.pallas.kv_store import kv_store
+    """Write new combined K/V rows into layer ``layer_idx``'s pages.
+
+    Static dispatch on the meta shape: a decode-scan meta carries a
+    length-1 (dummy) page-copy table — all its writes are single rows —
+    and takes the unrolled row-store kernel; prefill metas take the general
+    ring kernel with full-page copies."""
+    from nanovllm_tpu.ops.pallas.kv_store import kv_store, kv_store_rows
     off = layer_idx * pages_per_layer
+    if meta.store_page_src.shape[0] == 1:
+        return kv_store_rows(
+            kv_pages, kv_new, meta.store_row_src,
+            meta.store_row_dst_page + off, meta.store_row_dst_pos,
+            interpret=interpret)
     return kv_store(
         kv_pages, kv_new,
         meta.store_page_src, meta.store_page_dst + off,

@@ -157,6 +157,57 @@ def kv_store(
       kv_new, kv_pages)
 
 
+# ---------------------------------------------------------------- row variant
+def _row_kernel(row_src_ref, row_dst_page_ref, row_dst_pos_ref,
+                kv_new_hbm, pages_in, pages_out, sems, *, n_static: int):
+    """Single-grid-step decode store: all row DMAs issued from one unrolled
+    loop with an NSEM-deep ring (no per-item grid machinery). Masked-out rows
+    are directed at a garbage page by the caller, so every row writes."""
+    for j in range(n_static):
+        if j >= NSEM:
+            pltpu.make_async_copy(
+                kv_new_hbm.at[row_src_ref[j - NSEM]],
+                pages_out.at[row_dst_page_ref[j - NSEM], row_dst_pos_ref[j - NSEM]],
+                sems.at[(j - NSEM) % NSEM]).wait()
+        pltpu.make_async_copy(
+            kv_new_hbm.at[row_src_ref[j]],
+            pages_out.at[row_dst_page_ref[j], row_dst_pos_ref[j]],
+            sems.at[j % NSEM]).start()
+    for j in range(max(0, n_static - NSEM), n_static):
+        pltpu.make_async_copy(
+            kv_new_hbm.at[row_src_ref[j]],
+            pages_out.at[row_dst_page_ref[j], row_dst_pos_ref[j]],
+            sems.at[j % NSEM]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_store_rows(kv_pages, kv_new, row_src, row_dst_page, row_dst_pos,
+                  *, interpret: bool = False):
+    """Decode-only store: write row ``row_src[j]`` of kv_new to
+    ``pages[row_dst_page[j], row_dst_pos[j]]`` for all j (callers direct
+    masked-out rows at a garbage page). One grid step, unrolled DMA ring."""
+    B = row_src.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_row_kernel, n_static=B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True),
+        interpret=interpret,
+    )(row_src, row_dst_page, row_dst_pos, kv_new, kv_pages)
+
+
 def build_store_tables(q_starts, q_lens, cached_lens, block_tables, page_size,
                        np_items, ns_items):
     """Host-side store tables.
