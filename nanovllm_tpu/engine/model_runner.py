@@ -125,18 +125,31 @@ class ModelRunner:
             store_interpret=jax.default_backend() != "tpu",
             quant_cfg=quant_cfg)
 
-        self._prefill_jit = jax.jit(partial(_prefill_step, sc=self.sc),
-                                    donate_argnums=(1, 2))
+        self._prefill_jits = {}
         self._decode_jits = {}
         self.table_width = (config.max_model_len + self.page_size - 1) // self.page_size
 
-    def _decode_jit(self, num_steps: int):
-        fn = self._decode_jits.get(num_steps)
+    def _prefill_jit(self, use_topkp: bool):
+        fn = self._prefill_jits.get(use_topkp)
         if fn is None:
-            fn = jax.jit(partial(_decode_steps, sc=self.sc, num_steps=num_steps),
+            fn = jax.jit(partial(_prefill_step, sc=self.sc, use_topkp=use_topkp),
                          donate_argnums=(1, 2))
-            self._decode_jits[num_steps] = fn
+            self._prefill_jits[use_topkp] = fn
         return fn
+
+    def _decode_jit(self, num_steps: int, use_topkp: bool):
+        key = (num_steps, use_topkp)
+        fn = self._decode_jits.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_decode_steps, sc=self.sc, num_steps=num_steps,
+                                 use_topkp=use_topkp),
+                         donate_argnums=(1, 2))
+            self._decode_jits[key] = fn
+        return fn
+
+    @staticmethod
+    def _needs_topkp(seqs) -> bool:
+        return any(s.top_k > 0 or s.top_p < 1.0 for s in seqs)
 
     # ------------------------------------------------------------------ quant
     def _quantize(self, params):
@@ -226,6 +239,8 @@ class ModelRunner:
         last_idx = np.zeros(B, np.int32)
         temps = np.zeros(B, np.float32)
         slot_ids = np.full(B, cfg.max_num_seqs, np.int32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
         q_starts = np.zeros(len(seqs), np.int64)
         cached_lens = np.zeros(len(seqs), np.int64)
 
@@ -247,6 +262,8 @@ class ModelRunner:
             page_indices[i, :len(seq.block_table)] = seq.block_table
             temps[i] = seq.temperature
             slot_ids[i] = seq.slot if seq.slot is not None else i
+            top_ks[i] = seq.top_k
+            top_ps[i] = seq.top_p
         cu[1:n + 1] = starts[1:]
         cu[n + 1:] = qo
 
@@ -262,6 +279,7 @@ class ModelRunner:
             cu_q_lens=jnp.asarray(cu), num_seqs=jnp.asarray([len(seqs)], dtype=jnp.int32),
             last_token_idx=jnp.asarray(last_idx), temperatures=jnp.asarray(temps),
             slot_ids=jnp.asarray(slot_ids),
+            top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps),
             store_page_src=jnp.asarray(store[0]), store_page_dst=jnp.asarray(store[1]),
             store_row_src=jnp.asarray(store[2]), store_row_dst_page=jnp.asarray(store[3]),
             store_row_dst_pos=jnp.asarray(store[4]), store_counts=jnp.asarray(store[5]))
@@ -276,17 +294,22 @@ class ModelRunner:
         steps_left = np.zeros(B, np.int32)
         page_indices = np.zeros((B, W), np.int32)
         temps = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
         for i, seq in enumerate(seqs):
             slot_ids[i] = seq.slot if seq.slot is not None else i
             kv_lens[i] = seq.num_sched_tokens - 1
             steps_left[i] = steps[i]
             page_indices[i, :len(seq.block_table)] = seq.block_table
             temps[i] = seq.temperature
+            top_ks[i] = seq.top_k
+            top_ps[i] = seq.top_p
         return DecodeMeta(
             slot_ids=jnp.asarray(slot_ids), kv_lens=jnp.asarray(kv_lens),
             page_indices=jnp.asarray(page_indices),
             steps_left=jnp.asarray(steps_left), temperatures=jnp.asarray(temps),
-            num_seqs=jnp.asarray([len(seqs)], jnp.int32))
+            num_seqs=jnp.asarray([len(seqs)], jnp.int32),
+            top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps))
 
     # ------------------------------------------------------------------ run
     def _next_key(self):
@@ -297,7 +320,8 @@ class ModelRunner:
         """Dispatch one prefill call; returns the [B] device token array
         (sampled first completion token per seq) without blocking."""
         meta, input_ids = self.prepare(seqs, True)
-        tokens, self.kv_pages, self.last_tokens = self._prefill_jit(
+        fn = self._prefill_jit(self._needs_topkp(seqs))
+        tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, meta,
             jnp.asarray(input_ids), self._next_key())
         return tokens
@@ -307,7 +331,8 @@ class ModelRunner:
         """Dispatch one K-step decode call; returns the [K, B] device token
         matrix without blocking."""
         dmeta = self.prepare_decode(seqs, steps)
-        tokens, self.kv_pages, self.last_tokens = self._decode_jit(num_steps)(
+        fn = self._decode_jit(num_steps, self._needs_topkp(seqs))
+        tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, dmeta, self._next_key())
         return tokens
 
@@ -333,13 +358,15 @@ class ModelRunner:
 
 
 # ---------------------------------------------------------------------- steps
-def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc):
+def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc,
+                  use_topkp=False):
     """One ragged prefill: forward, last-token logits, sample, and scatter the
     sampled tokens into the persistent per-slot buffer."""
     h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
     h_last = qwen3.select_last_tokens(h, meta)
     logits = qwen3.compute_logits(params, h_last, sc)
-    tokens = sample(logits, meta.temperatures, key)
+    tokens = sample(logits, meta.temperatures, key,
+                    *((meta.top_ks, meta.top_ps) if use_topkp else (None, None)))
     B = tokens.shape[0]
     active = jnp.arange(B, dtype=jnp.int32) < meta.num_seqs[0]
     idx = jnp.where(active, meta.slot_ids, last_tokens.shape[0])
@@ -347,7 +374,8 @@ def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc):
     return tokens, kv_pages, last_tokens
 
 
-def _decode_steps(params, kv_pages, last_tokens, dmeta, key, *, sc, num_steps):
+def _decode_steps(params, kv_pages, last_tokens, dmeta, key, *, sc, num_steps,
+                  use_topkp=False):
     """K chained decode steps in one jit call (lax.scan). Each step derives
     its AttnMeta on device: input tokens gather from ``last_tokens`` by slot,
     positions/kv_lens advance in the carry, and KV-store row targets come from
@@ -379,6 +407,7 @@ def _decode_steps(params, kv_pages, last_tokens, dmeta, key, *, sc, num_steps):
             last_token_idx=lane,
             temperatures=dmeta.temperatures,
             slot_ids=dmeta.slot_ids,
+            top_ks=dmeta.top_ks, top_ps=dmeta.top_ps,
             store_page_src=jnp.zeros(1, jnp.int32),
             store_page_dst=jnp.zeros(1, jnp.int32),
             store_row_src=lane,
@@ -387,7 +416,8 @@ def _decode_steps(params, kv_pages, last_tokens, dmeta, key, *, sc, num_steps):
             store_counts=jnp.array([0, B], jnp.int32))
         h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
         logits = qwen3.compute_logits(params, h, sc)
-        tokens = sample(logits, dmeta.temperatures, key_t)
+        tokens = sample(logits, dmeta.temperatures, key_t,
+                        *((dmeta.top_ks, dmeta.top_ps) if use_topkp else (None, None)))
         idx = jnp.where(active, dmeta.slot_ids, last_tokens.shape[0])
         last_tokens = last_tokens.at[idx].set(tokens, mode="drop")
         kv_lens = kv_lens + active.astype(jnp.int32)

@@ -48,6 +48,8 @@ class AttnMeta(NamedTuple):
     last_token_idx: jax.Array   # i32[B] index into [T] of each seq's last token
     temperatures: jax.Array     # f32[B]
     slot_ids: jax.Array         # i32[B] persistent sequence slot (last_tokens row)
+    top_ks: jax.Array           # i32[B] 0 = disabled
+    top_ps: jax.Array           # f32[B] 1.0 = disabled
     # store tables (ops/pallas/kv_store.py)
     store_page_src: jax.Array   # i32[NP]
     store_page_dst: jax.Array   # i32[NP] logical page ids
@@ -72,6 +74,8 @@ class DecodeMeta(NamedTuple):
     steps_left: jax.Array     # i32[B] how many of the K steps each seq runs
     temperatures: jax.Array   # f32[B]
     num_seqs: jax.Array       # i32[1]
+    top_ks: jax.Array         # i32[B] 0 = disabled
+    top_ps: jax.Array         # f32[B] 1.0 = disabled
 
 
 class DenseMeta(NamedTuple):

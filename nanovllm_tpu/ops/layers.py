@@ -92,18 +92,40 @@ def linear_apply(p: dict, x, *, quant_cfg=None):
     return out
 
 
-def sample(logits, temperatures, key):
-    """Greedy / temperature sampling.
+_TOPK_CANDIDATES = 64  # candidate pool for the top-k/top-p path
+
+
+def sample(logits, temperatures, key, top_ks=None, top_ps=None):
+    """Greedy / temperature / top-k / top-p sampling.
 
     ``temperatures`` is [B]; 0.0 → argmax. The reference sampler is argmax-only
     despite accepting temperatures (reference: nanovllm/layers/sampler.py:5-12);
-    we implement real Gumbel-max temperature sampling and degrade to greedy at
-    temperature 0, which matches reference behavior on its evals.
+    we implement real Gumbel-max temperature sampling (degrading to greedy at
+    temperature 0, matching reference eval behavior) plus optional per-sequence
+    top-k / nucleus masks (an extension; compiled in only when the batch uses
+    them — the caller passes None otherwise).
+
+    top_ks i32[B] (0 = disabled), top_ps f32[B] (1.0 = disabled). Masks apply
+    over a top-64 candidate pool; a top_k above 64 is clamped.
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
-    gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(key, logits.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
-    t = temperatures[:, None]
-    noisy = jnp.argmax(logits / jnp.maximum(t, 1e-6) + gumbel, axis=-1)
+    t = jnp.maximum(temperatures[:, None], 1e-6)
+    if top_ks is None:
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+            key, logits.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
+        noisy = jnp.argmax(logits / t + gumbel, axis=-1)
+    else:
+        C = min(_TOPK_CANDIDATES, logits.shape[-1])
+        vals, idx = jax.lax.top_k(logits, C)  # [B, C] desc
+        rank = jnp.arange(C, dtype=jnp.int32)[None, :]
+        k = jnp.where(top_ks > 0, jnp.minimum(top_ks, C), C)[:, None]
+        probs = jax.nn.softmax(vals / t, axis=-1)
+        cum_excl = jnp.cumsum(probs, axis=-1) - probs  # mass strictly before
+        keep = (rank < k) & (cum_excl < top_ps[:, None])
+        masked = jnp.where(keep, vals, -jnp.inf)
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+            key, masked.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
+        choice = jnp.argmax(masked / t + gumbel, axis=-1)
+        noisy = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
     return jnp.where(temperatures <= 0.0, greedy, noisy).astype(jnp.int32)

@@ -14,3 +14,6 @@ class SamplingParams:
     temperature: float = 1.0
     max_tokens: int = 64
     ignore_eos: bool = False
+    # extensions beyond the reference surface (0 / 1.0 = disabled)
+    top_k: int = 0
+    top_p: float = 1.0

@@ -103,3 +103,51 @@ def test_many_seqs_with_preemption_pressure(tiny_checkpoint, rng):
     b = tight.generate(prompts, sp, use_tqdm=False)
     for x, y in zip(a, b):
         assert x["token_ids"] == y["token_ids"]
+
+
+def test_top_k_one_equals_greedy(engine, rng):
+    """top_k=1 must reproduce the greedy rollout even at high temperature."""
+    prompt = rng.integers(0, 512, size=8).tolist()
+    greedy = engine.generate([prompt], SamplingParams(temperature=0.0, max_tokens=10,
+                                                      ignore_eos=True),
+                             use_tqdm=False)[0]["token_ids"]
+    topk1 = engine.generate([prompt], SamplingParams(temperature=2.0, max_tokens=10,
+                                                     ignore_eos=True, top_k=1),
+                            use_tqdm=False)[0]["token_ids"]
+    assert topk1 == greedy
+
+
+def test_top_p_tiny_equals_greedy(engine, rng):
+    """A vanishing nucleus keeps only the argmax token."""
+    prompt = rng.integers(0, 512, size=8).tolist()
+    greedy = engine.generate([prompt], SamplingParams(temperature=0.0, max_tokens=10,
+                                                      ignore_eos=True),
+                             use_tqdm=False)[0]["token_ids"]
+    topp = engine.generate([prompt], SamplingParams(temperature=1.5, max_tokens=10,
+                                                    ignore_eos=True, top_p=1e-9),
+                           use_tqdm=False)[0]["token_ids"]
+    assert topp == greedy
+
+
+def test_sampler_unit_top_k_p():
+    import jax
+    import jax.numpy as jnp
+    from nanovllm_tpu.ops.layers import sample
+    logits = jnp.asarray(np.log([[0.5, 0.3, 0.15, 0.05]] * 2).astype(np.float32))
+    temps = jnp.ones(2, jnp.float32)
+    # top_p=0.6: keeps tokens while cumulative-mass-before < 0.6 -> {0, 1}
+    counts = np.zeros(4)
+    for i in range(200):
+        toks = sample(logits, temps, jax.random.key(i),
+                      jnp.zeros(2, jnp.int32), jnp.full(2, 0.6, jnp.float32))
+        for t in np.asarray(toks):
+            counts[t] += 1
+    assert counts[2] == 0 and counts[3] == 0 and counts[0] > 0 and counts[1] > 0
+    # top_k=3 excludes only the last token
+    counts = np.zeros(4)
+    for i in range(300):
+        toks = sample(logits, temps, jax.random.key(i),
+                      jnp.full(2, 3, jnp.int32), jnp.ones(2, jnp.float32))
+        for t in np.asarray(toks):
+            counts[t] += 1
+    assert counts[3] == 0 and all(counts[:3] > 0)

@@ -73,6 +73,7 @@ def make_meta(T, seq_specs, B=4, W=8):
         last_token_idx=jnp.asarray(last_idx),
         temperatures=jnp.zeros(B, jnp.float32),
         slot_ids=jnp.arange(B, dtype=jnp.int32),
+        top_ks=jnp.zeros(B, jnp.int32), top_ps=jnp.ones(B, jnp.float32),
         store_page_src=jnp.asarray(store[0]), store_page_dst=jnp.asarray(store[1]),
         store_row_src=jnp.asarray(store[2]), store_row_dst_page=jnp.asarray(store[3]),
         store_row_dst_pos=jnp.asarray(store[4]), store_counts=jnp.asarray(store[5]))
