@@ -74,8 +74,11 @@ def test_qwen2_engine_e2e(tmp_path):
     path, ref = _roundtrip_hf(tmp_path, Qwen2ForCausalLM(hf_cfg),
                               np.asarray(input_ids))
     cfg = ModelConfig.from_json(path + "/config.json")
+    # fp32 so the engine matches the fp32 dense oracle exactly — in bf16 a random
+    # untrained model's near-flat logits can flip the argmax late in the rollout.
     llm = LLM(path, max_model_len=128, max_num_batched_tokens=256, max_num_seqs=4,
-              kvcache_block_size=8, num_kvcache_blocks=64, attention_impl="xla")
+              kvcache_block_size=8, num_kvcache_blocks=64, attention_impl="xla",
+              dtype="float32")
     out = llm.generate([input_ids.tolist()],
                        SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True),
                        use_tqdm=False)[0]["token_ids"]
