@@ -94,6 +94,13 @@ class Config:
     group_size: int = 128
     kv_cache_dtype: str = "auto"             # auto (=model dtype); int8 reserved
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
+    # Admit a prefill only when its worst-case final KV footprint
+    # (prompt + max_tokens, clipped to max_model_len) fits alongside all
+    # admitted sequences. Eliminates preemption thrash under KV pressure at
+    # the cost of lower concurrency when max_tokens is much larger than
+    # typical completions. False restores the reference's opportunistic
+    # admission + preemption (reference: scheduler.py:44-58).
+    reserve_kv_on_admit: bool = True
 
     # --- TPU-specific ---
     # Decode steps fused into one device call (lax.scan): sampled tokens feed

@@ -70,22 +70,21 @@ class LLMEngine:
             self._finished.append((seq.seq_id, seq.completion_token_ids))
             self.metrics["requests_finished"] += 1
 
-    def _drain(self):
-        while self.pending:
-            self._materialize_one()
-
     def step(self):
         """One scheduling + dispatch step (reference: llm_engine.py:48-54).
         Returns (finished outputs, num_tokens) where num_tokens > 0 counts
         prefill tokens and < 0 counts scheduled decode tokens."""
         num_tokens = 0
-        try:
-            seqs, is_prefill, steps = self.scheduler.schedule(
-                can_drain=bool(self.pending))
-        except NeedDrain:
-            self._drain()
-            out, self._finished = self._finished, []
-            return out, 0
+        while True:
+            try:
+                seqs, is_prefill, steps = self.scheduler.schedule(
+                    can_drain=bool(self.pending))
+                break
+            except NeedDrain:
+                # materialize the *oldest* in-flight call only — finished
+                # sequences may free blocks; retry scheduling right away
+                # instead of stalling until the whole pipeline drains
+                self._materialize_one()
         if seqs:
             if is_prefill:
                 tokens = self.model_runner.run_prefill(seqs)

@@ -40,6 +40,35 @@ class Scheduler:
         self.running: deque[Sequence] = deque()
         self.free_slots: deque[int] = deque(range(config.max_num_seqs))
         self.num_preemptions = 0
+        # Strict admission: admit a prefill only when its worst-case final KV
+        # footprint fits alongside every already-admitted sequence's. The
+        # reference admits on *current* footprint and preempts on exhaustion
+        # (scheduler.py:44-58) — cheap on a GPU where re-prefill is fast, but
+        # each preemption discards computed KV and re-runs the prompt; under a
+        # capacity-bound workload it thrashes (observed: 1.5x prefill work on
+        # the bench). With reservation the pool never over-commits, so
+        # preemption becomes a cold path instead of the steady state.
+        self.reserve_on_admit = config.reserve_kv_on_admit
+        self.total_blocks = config.num_kvcache_blocks
+        self.committed_blocks = 0
+        self.num_committed_seqs = 0
+
+    def _projected_blocks(self, seq: Sequence) -> int:
+        """Worst-case page footprint of a sequence at its final length
+        (prefix-cache sharing only ever lowers actual use)."""
+        return (self._max_len(seq) + self.block_manager.block_size - 1) \
+            // self.block_manager.block_size
+
+    def _commit(self, seq: Sequence):
+        seq.committed_blocks = self._projected_blocks(seq)
+        self.committed_blocks += seq.committed_blocks
+        self.num_committed_seqs += 1
+
+    def _uncommit(self, seq: Sequence):
+        if getattr(seq, "committed_blocks", 0):
+            self.committed_blocks -= seq.committed_blocks
+            self.num_committed_seqs -= 1
+            seq.committed_blocks = 0
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -67,7 +96,13 @@ class Scheduler:
             if (num_batched_tokens + new_tokens > self.max_num_batched_tokens
                     or not self.block_manager.can_allocate(seq)):
                 break
+            if (self.reserve_on_admit
+                    and self.committed_blocks + self._projected_blocks(seq)
+                    > self.total_blocks
+                    and self.num_committed_seqs > 0):
+                break
             num_seqs += 1
+            self._commit(seq)
             self.block_manager.allocate(seq)
             num_batched_tokens += len(seq) - seq.num_cached_tokens
             seq.status = SequenceStatus.RUNNING
@@ -127,6 +162,7 @@ class Scheduler:
         if seq.slot is not None:
             self.free_slots.append(seq.slot)
             seq.slot = None
+        self._uncommit(seq)
         self.block_manager.deallocate(seq)
         self.waiting.appendleft(seq)
 
@@ -158,6 +194,7 @@ class Scheduler:
                     except ValueError:
                         pass
             if seq.is_finished and seq.inflight == 0:
+                self._uncommit(seq)
                 if seq.slot is not None:
                     self.free_slots.append(seq.slot)
                     seq.slot = None

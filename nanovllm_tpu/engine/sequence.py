@@ -46,6 +46,7 @@ class Sequence:
         self.num_sched_tokens = self.num_tokens
         self.inflight = 0
         self.slot: int | None = None
+        self.committed_blocks = 0  # KV pages reserved at admission (scheduler)
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos

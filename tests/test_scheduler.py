@@ -11,7 +11,9 @@ from nanovllm_tpu.sampling_params import SamplingParams
 
 
 def make_scheduler(num_blocks=16, max_seqs=8, max_tokens=64, block_size=4,
-                   decode_steps=1):
+                   decode_steps=1, reserve=False):
+    # reserve=False: most tests exercise the reference-parity opportunistic
+    # admission + preemption path; strict admission has its own tests below.
     cfg = Config(
         hf_config=ModelConfig(max_position_embeddings=max_tokens),
         max_num_seqs=max_seqs,
@@ -20,6 +22,7 @@ def make_scheduler(num_blocks=16, max_seqs=8, max_tokens=64, block_size=4,
         kvcache_block_size=block_size,
         num_kvcache_blocks=num_blocks,
         decode_steps_per_call=decode_steps,
+        reserve_kv_on_admit=reserve,
     )
     return Scheduler(cfg)
 
@@ -200,6 +203,59 @@ def test_preemption_youngest_first_and_prefix_recovery():
     # b re-prefills its full 8 tokens (its cached blocks were recycled by a's
     # decode growth here; block-level revival is covered in test_block_manager)
     assert len(b) == 9 and b.num_cached_tokens % 4 == 0
+
+
+def test_reserve_admission_defers_instead_of_preempting():
+    """With reserve_kv_on_admit, a prefill whose worst-case footprint would
+    overcommit the pool waits instead of being admitted and later preempted."""
+    # 4 blocks of 4 slots; each seq needs 4 blocks at its final length 16.
+    sch = make_scheduler(num_blocks=4, max_tokens=32, reserve=True)
+    a = seq(4, max_tokens=12, ignore_eos=True)
+    b = seq(4, max_tokens=12, ignore_eos=True)
+    sch.add(a)
+    sch.add(b)
+    seqs, is_prefill, steps = sch.schedule()
+    assert is_prefill and seqs == [a]          # b deferred, not admitted
+    assert b.status == SequenceStatus.WAITING
+    assert sch.committed_blocks == 4
+    run_call(sch, seqs, True, steps)
+    # run a to completion: never a preemption
+    while a.status != SequenceStatus.FINISHED:
+        seqs, is_prefill, steps = sch.schedule()
+        assert seqs == [a] and not is_prefill
+        run_call(sch, seqs, False, steps)
+    assert sch.num_preemptions == 0
+    assert sch.committed_blocks == 0
+    # a's reservation released → b admits now
+    seqs, is_prefill, _ = sch.schedule()
+    assert is_prefill and seqs == [b]
+    assert sch.committed_blocks == 4
+
+
+def test_reserve_admits_single_oversized_seq():
+    """The first sequence is always admitted even if its projection exceeds
+    the pool — matches the reference's ability to run one long sequence and
+    rely on max_model_len clipping."""
+    sch = make_scheduler(num_blocks=4, max_tokens=32, reserve=True)
+    s = seq(4, max_tokens=28, ignore_eos=True)  # projection 32 tokens = 8 > 4 blocks
+    sch.add(s)
+    seqs, is_prefill, _ = sch.schedule()
+    assert is_prefill and seqs == [s]
+
+
+def test_reserve_released_on_preemption():
+    """Preempting a committed sequence returns its reservation; re-admission
+    re-commits."""
+    sch = make_scheduler(num_blocks=4, max_tokens=32, reserve=True)
+    s = seq(4, max_tokens=28, ignore_eos=True)  # oversized: will self-preempt
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    committed = sch.committed_blocks
+    assert committed == 8
+    sch.preempt(s)
+    assert sch.committed_blocks == 0 and s.committed_blocks == 0
+    seqs, is_prefill, _ = sch.schedule()
+    assert is_prefill and sch.committed_blocks == committed
 
 
 def test_preemption_blocked_by_inflight_raises_needdrain():
