@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine import meta_pack
+from nanovllm_tpu.engine.meta_pack import PackLayout
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import qwen3
 from nanovllm_tpu.models.qwen3 import Qwen3StaticConfig
@@ -128,11 +130,19 @@ class ModelRunner:
         self._prefill_jits = {}
         self._decode_jits = {}
         self.table_width = (config.max_model_len + self.page_size - 1) // self.page_size
+        # packed-metadata layout: all per-call int fields ride in ONE i32
+        # upload (floats in one f32) — the per-transfer latency of a remote
+        # PJRT transport makes per-field uploads the dominant prep cost
+        self.pack_layout = PackLayout(
+            B=config.max_num_seqs, W=self.table_width,
+            NP=config.max_num_batched_tokens // self.page_size + config.max_num_seqs,
+            NS=config.max_num_seqs)
 
     def _prefill_jit(self, use_topkp: bool):
         fn = self._prefill_jits.get(use_topkp)
         if fn is None:
-            fn = jax.jit(partial(_prefill_step, sc=self.sc, use_topkp=use_topkp),
+            fn = jax.jit(partial(_prefill_step_packed, sc=self.sc,
+                                 layout=self.pack_layout, use_topkp=use_topkp),
                          donate_argnums=(1, 2))
             self._prefill_jits[use_topkp] = fn
         return fn
@@ -141,7 +151,8 @@ class ModelRunner:
         key = (num_steps, use_topkp)
         fn = self._decode_jits.get(key)
         if fn is None:
-            fn = jax.jit(partial(_decode_steps, sc=self.sc, num_steps=num_steps,
+            fn = jax.jit(partial(_decode_steps_packed, sc=self.sc,
+                                 layout=self.pack_layout, num_steps=num_steps,
                                  use_topkp=use_topkp),
                          donate_argnums=(1, 2))
             self._decode_jits[key] = fn
@@ -213,13 +224,13 @@ class ModelRunner:
                     np.prod(shape) * jnp.dtype(self.kv_dtype).itemsize / 2**30)
 
     # ------------------------------------------------------------------ prep
-    def prepare(self, seqs: list[Sequence], is_prefill: bool = True) -> tuple[AttnMeta, np.ndarray]:
+    def prepare(self, seqs: list[Sequence], is_prefill: bool = True):
         """Ragged prefill batch prep (reference prepare_prefill,
-        model_runner.py:182-237). Decode prep is prepare_decode."""
+        model_runner.py:182-237) into packed (i32, f32) upload buffers.
+        Decode prep is prepare_decode."""
         cfg = self.config
         ps = self.page_size
-        B = cfg.max_num_seqs
-        W = self.table_width
+        layout = self.pack_layout
 
         if is_prefill:
             q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], np.int64)
@@ -230,33 +241,24 @@ class ModelRunner:
             q_lens = np.ones(len(seqs), np.int64)
             T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
 
-        input_ids = np.zeros(T, np.int32)
-        positions = np.zeros(T, np.int32)
-        q_seg = np.full(T, -1, np.int32)
-        kv_lens = np.zeros(B, np.int32)
-        page_indices = np.zeros((B, W), np.int32)
-        cu = np.zeros(B + 1, np.int32)
-        last_idx = np.zeros(B, np.int32)
-        temps = np.zeros(B, np.float32)
-        slot_ids = np.full(B, cfg.max_num_seqs, np.int32)
-        top_ks = np.zeros(B, np.int32)
-        top_ps = np.ones(B, np.float32)
-        q_starts = np.zeros(len(seqs), np.int64)
-        cached_lens = np.zeros(len(seqs), np.int64)
+        buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)
 
         n = len(seqs)
         starts = np.zeros(n + 1, np.int64)
         np.cumsum(q_lens, out=starts[1:])
         qo = int(starts[-1])
-        q_starts[:] = starts[:-1]
+        kv_lens = v["kv_lens"]
         kv_lens[:n] = [len(s) for s in seqs]
-        cached_lens[:] = kv_lens[:n] - q_lens
+        cached_lens = kv_lens[:n].astype(np.int64) - q_lens
         # vectorized ragged position/segment fill: positions of seq i run
         # cached_i .. kv_i-1 at stream offset starts[i]
-        q_seg[:qo] = np.repeat(np.arange(n, dtype=np.int32), q_lens)
-        positions[:qo] = (np.arange(qo, dtype=np.int64)
-                          + np.repeat(cached_lens - starts[:-1], q_lens))
-        last_idx[:n] = starts[1:] - 1
+        v["q_segment_ids"][:qo] = np.repeat(np.arange(n, dtype=np.int32), q_lens)
+        v["positions"][:qo] = (np.arange(qo, dtype=np.int64)
+                               + np.repeat(cached_lens - starts[:-1], q_lens))
+        v["last_token_idx"][:n] = starts[1:] - 1
+        input_ids, page_indices = v["input_ids"], v["page_indices"]
+        slot_ids, top_ks = v["slot_ids"], v["top_ks"]
+        temps, top_ps = fv["temperatures"], fv["top_ps"]
         for i, seq in enumerate(seqs):
             input_ids[starts[i]:starts[i + 1]] = seq.token_ids[int(cached_lens[i]):]
             page_indices[i, :len(seq.block_table)] = seq.block_table
@@ -264,38 +266,29 @@ class ModelRunner:
             slot_ids[i] = seq.slot if seq.slot is not None else i
             top_ks[i] = seq.top_k
             top_ps[i] = seq.top_p
-        cu[1:n + 1] = starts[1:]
-        cu[n + 1:] = qo
+        v["cu_q_lens"][1:n + 1] = starts[1:]
+        v["cu_q_lens"][n + 1:] = qo
+        v["num_seqs"][0] = n
 
-        # fixed store-table capacities so meta shapes don't add compile keys
-        NP = cfg.max_num_batched_tokens // ps + B
-        NS = B
-        store = build_store_tables(q_starts, q_lens, cached_lens, page_indices,
-                                   ps, NP, NS)
+        store = build_store_tables(starts[:-1], q_lens, cached_lens, page_indices,
+                                   ps, layout.NP, layout.NS)
+        v["store_page_src"][:] = store[0]
+        v["store_page_dst"][:] = store[1]
+        v["store_row_src"][:] = store[2]
+        v["store_row_dst_page"][:] = store[3]
+        v["store_row_dst_pos"][:] = store[4]
+        v["store_counts"][:] = store[5]
+        v["step_ctr"][0] = self._next_ctr()
+        return buf, fbuf
 
-        meta = AttnMeta(
-            positions=jnp.asarray(positions), q_segment_ids=jnp.asarray(q_seg),
-            kv_lens=jnp.asarray(kv_lens), page_indices=jnp.asarray(page_indices),
-            cu_q_lens=jnp.asarray(cu), num_seqs=jnp.asarray([len(seqs)], dtype=jnp.int32),
-            last_token_idx=jnp.asarray(last_idx), temperatures=jnp.asarray(temps),
-            slot_ids=jnp.asarray(slot_ids),
-            top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps),
-            store_page_src=jnp.asarray(store[0]), store_page_dst=jnp.asarray(store[1]),
-            store_row_src=jnp.asarray(store[2]), store_row_dst_page=jnp.asarray(store[3]),
-            store_row_dst_pos=jnp.asarray(store[4]), store_counts=jnp.asarray(store[5]))
-        return meta, input_ids
-
-    def prepare_decode(self, seqs: list[Sequence], steps: list[int]) -> DecodeMeta:
+    def prepare_decode(self, seqs: list[Sequence], steps: list[int]):
         cfg = self.config
         B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
-        W = self.table_width
-        slot_ids = np.full(B, cfg.max_num_seqs, np.int32)
-        kv_lens = np.zeros(B, np.int32)
-        steps_left = np.zeros(B, np.int32)
-        page_indices = np.zeros((B, W), np.int32)
-        temps = np.zeros(B, np.float32)
-        top_ks = np.zeros(B, np.int32)
-        top_ps = np.ones(B, np.float32)
+        buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, self.pack_layout)
+        slot_ids, kv_lens = v["slot_ids"], v["kv_lens"]
+        steps_left, page_indices = v["steps_left"], v["page_indices"]
+        top_ks = v["top_ks"]
+        temps, top_ps = fv["temperatures"], fv["top_ps"]
         for i, seq in enumerate(seqs):
             slot_ids[i] = seq.slot if seq.slot is not None else i
             kv_lens[i] = seq.num_sched_tokens - 1
@@ -304,36 +297,36 @@ class ModelRunner:
             temps[i] = seq.temperature
             top_ks[i] = seq.top_k
             top_ps[i] = seq.top_p
-        return DecodeMeta(
-            slot_ids=jnp.asarray(slot_ids), kv_lens=jnp.asarray(kv_lens),
-            page_indices=jnp.asarray(page_indices),
-            steps_left=jnp.asarray(steps_left), temperatures=jnp.asarray(temps),
-            num_seqs=jnp.asarray([len(seqs)], jnp.int32),
-            top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps))
+        v["num_seqs"][0] = len(seqs)
+        v["step_ctr"][0] = self._next_ctr()
+        return buf, fbuf
 
     # ------------------------------------------------------------------ run
-    def _next_key(self):
-        self.step_counter += 1
-        return jax.random.fold_in(self.rng_key, self.step_counter)
+    def _next_ctr(self) -> int:
+        """Per-call counter; rides in the packed i32 buffer and is folded
+        into the base PRNG key on device (no per-call key upload)."""
+        self.step_counter = (self.step_counter + 1) % (2**31 - 1)
+        return self.step_counter
 
     def run_prefill(self, seqs: list[Sequence]) -> jax.Array:
         """Dispatch one prefill call; returns the [B] device token array
         (sampled first completion token per seq) without blocking."""
-        meta, input_ids = self.prepare(seqs, True)
+        buf, fbuf = self.prepare(seqs, True)
         fn = self._prefill_jit(self._needs_topkp(seqs))
         tokens, self.kv_pages, self.last_tokens = fn(
-            self.params, self.kv_pages, self.last_tokens, meta,
-            jnp.asarray(input_ids), self._next_key())
+            self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+            self.rng_key)
         return tokens
 
     def run_decode(self, seqs: list[Sequence], steps: list[int],
                    num_steps: int) -> jax.Array:
         """Dispatch one K-step decode call; returns the [K, B] device token
         matrix without blocking."""
-        dmeta = self.prepare_decode(seqs, steps)
+        buf, fbuf = self.prepare_decode(seqs, steps)
         fn = self._decode_jit(num_steps, self._needs_topkp(seqs))
         tokens, self.kv_pages, self.last_tokens = fn(
-            self.params, self.kv_pages, self.last_tokens, dmeta, self._next_key())
+            self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+            self.rng_key)
         return tokens
 
     def seed_last_tokens(self, seqs: list[Sequence]):
@@ -358,6 +351,44 @@ class ModelRunner:
 
 
 # ---------------------------------------------------------------------- steps
+def _prefill_step_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
+                         sc, layout, use_topkp=False):
+    """Packed-transport prefill: unpack the single i32/f32 uploads into
+    AttnMeta on device (static slices — XLA fuses them away), derive the call
+    key from the packed step counter, delegate to _prefill_step."""
+    v, _ = meta_pack.split_prefill_i32(buf, layout)
+    fv = meta_pack.split_f32(fbuf)
+    meta = AttnMeta(
+        positions=v["positions"], q_segment_ids=v["q_segment_ids"],
+        kv_lens=v["kv_lens"], page_indices=v["page_indices"],
+        cu_q_lens=v["cu_q_lens"], num_seqs=v["num_seqs"],
+        last_token_idx=v["last_token_idx"], temperatures=fv["temperatures"],
+        slot_ids=v["slot_ids"], top_ks=v["top_ks"], top_ps=fv["top_ps"],
+        store_page_src=v["store_page_src"], store_page_dst=v["store_page_dst"],
+        store_row_src=v["store_row_src"],
+        store_row_dst_page=v["store_row_dst_page"],
+        store_row_dst_pos=v["store_row_dst_pos"],
+        store_counts=v["store_counts"])
+    key = jax.random.fold_in(base_key, v["step_ctr"][0])
+    return _prefill_step(params, kv_pages, last_tokens, meta, v["input_ids"],
+                         key, sc=sc, use_topkp=use_topkp)
+
+
+def _decode_steps_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
+                         sc, layout, num_steps, use_topkp=False):
+    """Packed-transport decode: unpack into DecodeMeta, delegate."""
+    v = meta_pack.split_decode_i32(buf, layout)
+    fv = meta_pack.split_f32(fbuf)
+    dmeta = DecodeMeta(
+        slot_ids=v["slot_ids"], kv_lens=v["kv_lens"],
+        page_indices=v["page_indices"], steps_left=v["steps_left"],
+        temperatures=fv["temperatures"], num_seqs=v["num_seqs"],
+        top_ks=v["top_ks"], top_ps=fv["top_ps"])
+    key = jax.random.fold_in(base_key, v["step_ctr"][0])
+    return _decode_steps(params, kv_pages, last_tokens, dmeta, key, sc=sc,
+                         num_steps=num_steps, use_topkp=use_topkp)
+
+
 def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc,
                   use_topkp=False):
     """One ragged prefill: forward, last-token logits, sample, and scatter the
