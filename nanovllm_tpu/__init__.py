@@ -5,6 +5,35 @@ reference songxxzp/nano-vllm-hw3 (continuous batching, paged KV with prefix
 caching, Qwen3, INT8/FP8 quantization, SPMD tensor parallelism).
 """
 
+import os as _os
+
+
+def _enable_persistent_jit_cache():
+    """Compile each jit shape once per machine, not once per process.
+
+    XLA compiles are expensive (tens of seconds per bucket through a remote
+    compile service); the persistent cache serves them from disk across
+    processes — the TPU analogue of the reference keeping CUDA graphs warm
+    within a process (reference: model_runner.py:316-356), but durable.
+    Opt out with NANOVLLM_TPU_NO_JIT_CACHE=1; override the location with
+    JAX_COMPILATION_CACHE_DIR (respected by jax itself).
+    """
+    if _os.environ.get("NANOVLLM_TPU_NO_JIT_CACHE") == "1":
+        return
+    import jax
+
+    try:
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/nanovllm_tpu_jit"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
+
+
+_enable_persistent_jit_cache()
+
 from nanovllm_tpu.llm import LLM
 from nanovllm_tpu.sampling_params import SamplingParams
 

@@ -116,6 +116,18 @@ class Config:
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384)
     attention_impl: str = "auto"             # auto | ragged (Pallas) | xla
+    # (num_kv_pages_per_block, num_queries_per_block) for the ragged kernel,
+    # per batch kind. The library's auto-tune table has no entries for this
+    # GQA shape (16q/8kv heads, D=128, page=64) on v5e and falls back to
+    # (128, 32); the tools/attn_tune.py sweep measured 6.6x (prefill) / 4.0x
+    # (decode) faster blocks at bench-realistic shapes. None = library default.
+    attn_blocks_prefill: tuple | None = (16, 256)
+    attn_blocks_decode: tuple | None = (8, 16)
+    # Pre-compile every prefill/decode shape bucket at engine init (the
+    # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
+    # 316-356). With the persistent jit cache this is a disk read after the
+    # first run on a machine; it keeps compiles out of the serving path.
+    warmup_jit: bool = True
 
     def __post_init__(self):
         # Pallas paged kernels want TPU-lane-aligned pages; the XLA fallback

@@ -39,6 +39,7 @@ class LLMEngine:
             from nanovllm_tpu.parallel.sharding import make_mesh
             mesh = make_mesh(config.data_parallel_size, config.tensor_parallel_size)
         self.model_runner = ModelRunner(config, mesh=mesh)
+        self.model_runner.warmup_jit()
         self.tokenizer = _load_tokenizer(config.model)
         if self.tokenizer is not None and config.eos == -1:
             config.eos = self.tokenizer.eos_token_id

@@ -125,7 +125,9 @@ class ModelRunner:
             pages_per_layer=self.pages_per_layer,
             attention_impl=config.attention_impl,
             store_interpret=jax.default_backend() != "tpu",
-            quant_cfg=quant_cfg)
+            quant_cfg=quant_cfg,
+            attn_blocks_prefill=config.attn_blocks_prefill,
+            attn_blocks_decode=config.attn_blocks_decode)
 
         self._prefill_jits = {}
         self._decode_jits = {}
@@ -161,6 +163,53 @@ class ModelRunner:
     @staticmethod
     def _needs_topkp(seqs) -> bool:
         return any(s.top_k > 0 or s.top_p < 1.0 for s in seqs)
+
+    def warmup_jit(self):
+        """Pre-compile every shape bucket the engine can dispatch (reference:
+        warmup_model + capture_cudagraph at init, model_runner.py:117-129,
+        316-356). Each bucket runs once with a minimal 1-token batch whose KV
+        writes target the garbage page (a fully degenerate num_seqs=0 batch
+        aborts the ragged kernel on device). With the persistent jit cache
+        this is a disk read after the first run on a machine."""
+        cfg = self.config
+        if jax.default_backend() != "tpu" or not cfg.warmup_jit:
+            return
+        layout = self.pack_layout
+        garbage = cfg.num_kvcache_blocks  # logical id of the sink page
+        for T in cfg.prefill_token_buckets:
+            buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)
+            v["num_seqs"][0] = 1
+            v["q_segment_ids"][0] = 0
+            v["kv_lens"][0] = 1
+            v["cu_q_lens"][1:] = 1
+            v["page_indices"][0, 0] = garbage
+            v["slot_ids"][0] = 0
+            v["store_row_dst_page"][0] = garbage
+            v["store_counts"][1] = 1
+            v["step_ctr"][0] = self._next_ctr()
+            fn = self._prefill_jit(False)
+            tokens, self.kv_pages, self.last_tokens = fn(
+                self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+                self.rng_key)
+            logger.info("warmup: prefill bucket T=%d compiled", T)
+        for B in cfg.decode_bs_buckets:
+            buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, layout)
+            v["num_seqs"][0] = 1
+            v["slot_ids"][0] = 0
+            v["steps_left"][0] = 1
+            v["page_indices"][0, 0] = garbage
+            v["step_ctr"][0] = self._next_ctr()
+            fn = self._decode_jit(cfg.decode_steps_per_call, False)
+            tokens, self.kv_pages, self.last_tokens = fn(
+                self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+                self.rng_key)
+            logger.info("warmup: decode bucket B=%d compiled", B)
+        # force completion so a warmup failure surfaces here, not at the
+        # first real readback (block_until_ready can return at enqueue on a
+        # tunneled transport)
+        np.asarray(tokens[:1])
+        # warmup wrote only the garbage page: reset the token buffer
+        self.last_tokens = jnp.zeros((cfg.max_num_seqs,), jnp.int32)
 
     # ------------------------------------------------------------------ quant
     def _quantize(self, params):

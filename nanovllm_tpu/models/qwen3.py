@@ -59,11 +59,17 @@ class Qwen3StaticConfig(NamedTuple):
     attention_impl: str = "xla"      # ragged | xla
     store_interpret: bool = False    # interpret-mode store kernel (CPU tests)
     quant_cfg: tuple | None = None   # (quant_type, group_size, act_quant, dtype)
+    # (num_kv_pages_per_block, num_queries_per_block) overrides for the ragged
+    # kernel, per batch kind; None = library auto-tune table (which has no
+    # entries for this GQA shape on v5e and falls back to bkv=128, bq=32)
+    attn_blocks_prefill: tuple | None = None
+    attn_blocks_decode: tuple | None = None
 
     @staticmethod
     def from_model_config(cfg: ModelConfig, *, page_size=64, pages_per_layer=0,
                           attention_impl="xla", store_interpret=False,
-                          quant_cfg=None):
+                          quant_cfg=None, attn_blocks_prefill=None,
+                          attn_blocks_decode=None):
         arch = cfg.architectures[0]
         return Qwen3StaticConfig(
             num_layers=cfg.num_hidden_layers,
@@ -81,6 +87,8 @@ class Qwen3StaticConfig(NamedTuple):
             attention_impl=attention_impl,
             store_interpret=store_interpret,
             quant_cfg=quant_cfg,
+            attn_blocks_prefill=attn_blocks_prefill,
+            attn_blocks_decode=attn_blocks_decode,
         )
 
 
@@ -144,9 +152,14 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
         kv_pages = attn_ops.store_kv(
             kv_pages, kv_new, meta, layer_idx, page_size=sc.page_size,
             pages_per_layer=sc.pages_per_layer, interpret=sc.store_interpret)
+        # decode-scan metas carry a length-1 (dummy) page-copy table — the
+        # same static dispatch store_kv uses to pick its kernel
+        blocks = (sc.attn_blocks_decode if meta.store_page_src.shape[0] == 1
+                  else sc.attn_blocks_prefill)
         o = attn_ops.paged_attention(
             q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
-            page_size=sc.page_size, pages_per_layer=sc.pages_per_layer)
+            page_size=sc.page_size, pages_per_layer=sc.pages_per_layer,
+            blocks=blocks)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
     return out, kv_pages
 

@@ -117,15 +117,23 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
 
 
 def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
-                    impl: str, page_size: int, pages_per_layer: int):
-    """Ragged attention of the q stream against layer ``layer_idx``'s pages."""
+                    impl: str, page_size: int, pages_per_layer: int,
+                    blocks: tuple | None = None):
+    """Ragged attention of the q stream against layer ``layer_idx``'s pages.
+
+    ``blocks``: optional (num_kv_pages_per_block, num_queries_per_block)
+    override for the ragged kernel (the library's auto-tune table has no
+    entries for this GQA shape on v5e)."""
     page_indices = meta.page_indices + layer_idx * pages_per_layer
     if impl == "ragged":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
+        bkv, bq = blocks if blocks is not None else (None, None)
         return ragged_paged_attention(
             q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
-            meta.num_seqs, sm_scale=scale, vmem_limit_bytes=100 * 2**20)
+            meta.num_seqs, sm_scale=scale,
+            num_kv_pages_per_block=bkv, num_queries_per_block=bq,
+            vmem_limit_bytes=100 * 2**20)
     return _paged_attention_xla(q, kv_pages, meta, page_indices, scale,
                                 page_size=page_size)
 

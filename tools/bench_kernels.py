@@ -11,6 +11,7 @@ Usage: python tools/bench_kernels.py [store|attn|matmul|decode|all] [B] [K]
 
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, ".")
 
@@ -98,6 +99,8 @@ def bench_attn(B, rtt):
     from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
         ragged_paged_attention)
     k = jax.random.key(0)
+    # pages passed as an ARG (a closure constant this big gets baked into the
+    # HLO and kills the remote-compile transport)
     pages = jax.random.normal(k, (P, PS, 2 * Hk, D), jnp.bfloat16)
     q = jax.random.normal(k, (B, 16, D), jnp.bfloat16)
     W = 64
@@ -106,12 +109,13 @@ def bench_attn(B, rtt):
     cu = jnp.arange(B + 1, dtype=jnp.int32)
     num_seqs = jnp.array([B], jnp.int32)
 
-    def step(q):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(q, pages):
         o = ragged_paged_attention(q, pages, kv_lens, page_indices, cu,
                                    num_seqs, sm_scale=0.0883,
                                    vmem_limit_bytes=100 * 2**20)
         return o * 1e-3  # keep values bounded through the chain
-    timed_chain(f"ragged-paged-attn B={B} ctx1024", jax.jit(step, donate_argnums=(0,)),
+    timed_chain(f"ragged-paged-attn B={B} ctx1024", lambda q: step(q, pages),
                 q, 50, rtt)
 
 
@@ -124,23 +128,27 @@ def bench_matmul(rtt):
         "gu": jax.random.normal(k, (L, H, 2 * I), jnp.bfloat16),
         "dn": jax.random.normal(k, (L, I, H), jnp.bfloat16),
     }
+    @partial(jax.jit, donate_argnums=(0,))
+    def chain(x, Ws):
+        def body(x, w):
+            a = x @ w["qkv"]
+            x = a[:, :2048] @ w["o"]
+            g = x @ w["gu"]
+            x = (g[:, :I] * jax.nn.silu(g[:, I:])) @ w["dn"]
+            return x * 1e-2, None
+        x, _ = jax.lax.scan(body, x, Ws)
+        return x
     for B in (64, 256):
-        def chain(x):
-            def body(x, w):
-                a = x @ w["qkv"]
-                x = a[:, :2048] @ w["o"]
-                g = x @ w["gu"]
-                x = (g[:, :I] * jax.nn.silu(g[:, I:])) @ w["dn"]
-                return x * 1e-2, None
-            x, _ = jax.lax.scan(body, x, Ws)
-            return x
-        timed_chain(f"matmul-chain 28L T={B}", jax.jit(chain, donate_argnums=(0,)),
+        timed_chain(f"matmul-chain 28L T={B}", lambda x: chain(x, Ws),
                     jax.random.normal(k, (B, H), jnp.bfloat16), 30, rtt)
     Wv = jax.random.normal(k, (151936, 1024), jnp.bfloat16)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def head(x, Wv):
+        return (jnp.dot(x, Wv.T, preferred_element_type=jnp.float32)
+                .argmax(-1).astype(jnp.float32)[None, :] * 0 + x)
     for B in (64, 256):
-        head = jax.jit(lambda x: (jnp.dot(x, Wv.T, preferred_element_type=jnp.float32)
-                                  .argmax(-1).astype(jnp.float32)[None, :] * 0 + x))
-        timed_chain(f"lm-head {B}x151936", head,
+        timed_chain(f"lm-head {B}x151936", lambda x: head(x, Wv),
                     jax.random.normal(k, (B, 1024), jnp.bfloat16), 30, rtt)
 
 
@@ -153,10 +161,11 @@ def bench_decode(B, K, rtt):
 
     cfg = Config(model=get_model_path(), max_model_len=4096)
     runner = ModelRunner(cfg)
+    npages = cfg.num_kvcache_blocks
     seqs = []
     for i in range(B):
         s = Sequence(list(range(100)), SamplingParams(max_tokens=512, ignore_eos=True))
-        s.block_table = list(range(8 * i, 8 * i + 8))
+        s.block_table = [(8 * i + j) % npages for j in range(8)]
         s.slot = i
         s.num_sched_tokens = 100
         seqs.append(s)
