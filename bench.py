@@ -24,7 +24,8 @@ def main():
     max_input_len = int(os.environ.get("BENCH_MAX_INPUT", 1024))
     max_output_len = int(os.environ.get("BENCH_MAX_OUTPUT", 1024))
 
-    llm = LLM(get_model_path(), max_model_len=4096)
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "auto")  # auto | int8 | fp8
+    llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype)
 
     prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
                         for _ in range(num_seqs)]

@@ -247,6 +247,10 @@ def main():
     # matmul test
     parser.add_argument("--matmul-shape", type=int, nargs=3, default=[4096, 4096, 4096])
     parser.add_argument("--num-tests", type=int, default=10)
+    # KV-cache quantization (extension beyond the reference, which reserves
+    # the knob but never implements it)
+    parser.add_argument("--kv-dtype", type=str, default="auto",
+                        choices=["auto", "int8", "fp8"])
     args = parser.parse_args()
 
     print(f"test: {args.test}, real: {args.real}, quant: {args.quant}, "
@@ -254,6 +258,8 @@ def main():
           + (f" group size: {args.group_size}" if args.quant == "group" else ""))
     results_manager = ExperimentResults(args.save)
     quant_kwargs = build_quant_kwargs(args)
+    if args.kv_dtype != "auto":
+        quant_kwargs["kv_cache_dtype"] = args.kv_dtype
 
     if args.test == "mmlu":
         mmlu(args, quant_kwargs, results_manager)

@@ -92,7 +92,15 @@ class Config:
     weight_quant_fn: object = None           # fake-quant callable applied to weights
     quant_type: str | None = None            # per_tensor | per_row | per_group | smoothquant
     group_size: int = 128
-    kv_cache_dtype: str = "auto"             # auto (=model dtype); int8 reserved
+    # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
+    # page bytes (≈2x the concurrent batch on a capacity-bound workload); the
+    # attention kernel dequantizes in-VMEM. The reference reserves this knob
+    # but never implements it (config.py:24 comment) — here it is real.
+    kv_cache_dtype: str = "auto"             # auto | int8 | fp8
+    # Global dequant scale for int8 KV (stored = round(x / scale)). Qwen3's
+    # per-head q/k RMSNorm keeps |k| ~ O(1); 1/16 covers ±7.9 with ~0.03
+    # rounding noise. fp8 (e4m3) needs no scale.
+    kv_cache_scale: float = 0.0625
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
     # Admit a prefill only when its worst-case final KV footprint
     # (prompt + max_tokens, clipped to max_model_len) fits alongside all
@@ -150,7 +158,7 @@ class Config:
         if self.quant_type is not None:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")
-        assert self.kv_cache_dtype in ("auto", "int8")
+        assert self.kv_cache_dtype in ("auto", "int8", "fp8")
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"

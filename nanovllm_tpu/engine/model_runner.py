@@ -78,12 +78,15 @@ class ModelRunner:
         hf = config.hf_config
         self.page_size = config.kvcache_block_size
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        if config.kv_cache_dtype != "auto":
-            # Quantized KV needs a dequantizing attention kernel + a scale
-            # page pool; not wired up yet (the reference has no KV quant
-            # either — this stays an honest extension point).
-            raise NotImplementedError("kv_cache_dtype != 'auto' not implemented")
-        self.kv_dtype = self.dtype
+        if config.kv_cache_dtype == "int8":
+            self.kv_dtype = jnp.int8
+            self.kv_quant = ("int8", float(config.kv_cache_scale))
+        elif config.kv_cache_dtype == "fp8":
+            self.kv_dtype = jnp.float8_e4m3fn
+            self.kv_quant = ("fp8", 1.0)
+        else:
+            self.kv_dtype = self.dtype
+            self.kv_quant = None
         self.mesh = mesh
         self.rng_key = jax.random.key(0)
         self.step_counter = 0
@@ -127,7 +130,8 @@ class ModelRunner:
             store_interpret=jax.default_backend() != "tpu",
             quant_cfg=quant_cfg,
             attn_blocks_prefill=config.attn_blocks_prefill,
-            attn_blocks_decode=config.attn_blocks_decode)
+            attn_blocks_decode=config.attn_blocks_decode,
+            kv_quant=self.kv_quant)
 
         self._prefill_jits = {}
         self._decode_jits = {}

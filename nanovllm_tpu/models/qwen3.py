@@ -64,12 +64,14 @@ class Qwen3StaticConfig(NamedTuple):
     # entries for this GQA shape on v5e and falls back to bkv=128, bq=32)
     attn_blocks_prefill: tuple | None = None
     attn_blocks_decode: tuple | None = None
+    # quantized KV storage: ("int8"|"fp8", dequant_scale) or None = model dtype
+    kv_quant: tuple | None = None
 
     @staticmethod
     def from_model_config(cfg: ModelConfig, *, page_size=64, pages_per_layer=0,
                           attention_impl="xla", store_interpret=False,
                           quant_cfg=None, attn_blocks_prefill=None,
-                          attn_blocks_decode=None):
+                          attn_blocks_decode=None, kv_quant=None):
         arch = cfg.architectures[0]
         return Qwen3StaticConfig(
             num_layers=cfg.num_hidden_layers,
@@ -89,6 +91,7 @@ class Qwen3StaticConfig(NamedTuple):
             quant_cfg=quant_cfg,
             attn_blocks_prefill=attn_blocks_prefill,
             attn_blocks_decode=attn_blocks_decode,
+            kv_quant=kv_quant,
         )
 
 
@@ -149,6 +152,10 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
         o = attn_ops.dense_attention(q, k, v, meta.positions, scale)
     else:
         kv_new = attn_ops.combine_kv(k, v)
+        if sc.kv_quant is not None:
+            # quantize before the (dtype-agnostic) store DMA; XLA fuses this
+            # into the preceding projections
+            kv_new = attn_ops.quantize_kv(kv_new, sc.kv_quant)
         kv_pages = attn_ops.store_kv(
             kv_pages, kv_new, meta, layer_idx, page_size=sc.page_size,
             pages_per_layer=sc.pages_per_layer, interpret=sc.store_interpret)
@@ -159,7 +166,7 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
         o = attn_ops.paged_attention(
             q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
             page_size=sc.page_size, pages_per_layer=sc.pages_per_layer,
-            blocks=blocks)
+            blocks=blocks, kv_quant=sc.kv_quant)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
     return out, kv_pages
 

@@ -93,6 +93,23 @@ def combine_kv(k, v):
     return jnp.stack([k, v], axis=2).reshape(T, 2 * Hk, D)
 
 
+def quantize_kv(kv_new, kv_quant: tuple):
+    """Quantize combined K/V rows for a low-bit page pool.
+
+    kv_quant = ("int8", scale): stored = round(x / scale) clamped to ±127,
+    dequantized in the attention kernel as stored * scale (one global scale —
+    the granularity the in-tree kernel's k_scale/v_scale supports).
+    ("fp8", 1.0): plain e4m3 cast (scale-free). An extension beyond the
+    reference, which reserves kv-cache dtype config but never implements it."""
+    kind, scale = kv_quant
+    if kind == "int8":
+        q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
+        return jnp.clip(q, -127, 127).astype(jnp.int8)
+    if kind == "fp8":
+        return kv_new.astype(jnp.float8_e4m3fn)
+    raise ValueError(f"unknown kv_quant kind {kind!r}")
+
+
 def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
              pages_per_layer: int, interpret: bool = False):
     """Write new combined K/V rows into layer ``layer_idx``'s pages.
@@ -118,13 +135,15 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
 
 def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
                     impl: str, page_size: int, pages_per_layer: int,
-                    blocks: tuple | None = None):
+                    blocks: tuple | None = None, kv_quant: tuple | None = None):
     """Ragged attention of the q stream against layer ``layer_idx``'s pages.
 
     ``blocks``: optional (num_kv_pages_per_block, num_queries_per_block)
     override for the ragged kernel (the library's auto-tune table has no
-    entries for this GQA shape on v5e)."""
+    entries for this GQA shape on v5e). ``kv_quant``: ("int8"|"fp8", scale)
+    when the page pool is quantized — the kernel dequantizes in-VMEM."""
     page_indices = meta.page_indices + layer_idx * pages_per_layer
+    kv_scale = kv_quant[1] if kv_quant is not None else None
     if impl == "ragged":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
@@ -132,14 +151,15 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
         return ragged_paged_attention(
             q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
             meta.num_seqs, sm_scale=scale,
+            k_scale=kv_scale, v_scale=kv_scale,
             num_kv_pages_per_block=bkv, num_queries_per_block=bq,
             vmem_limit_bytes=100 * 2**20)
     return _paged_attention_xla(q, kv_pages, meta, page_indices, scale,
-                                page_size=page_size)
+                                page_size=page_size, kv_scale=kv_scale)
 
 
 def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
-                         page_size: int):
+                         page_size: int, kv_scale: float | None = None):
     """Masked-softmax oracle over the paged cache. O(T * B * W * ps) memory —
     for tests and small shapes only."""
     T, Hq, D = q.shape
@@ -149,9 +169,11 @@ def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
     G = Hq // Hk
     S = W * page_size
     rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, 2Hk, D]
-    rows = rows.reshape(B, S, Hk2, D)
-    k = rows[:, :, 0::2, :].astype(jnp.float32)   # [B, S, Hk, D]
-    v = rows[:, :, 1::2, :].astype(jnp.float32)
+    rows = rows.reshape(B, S, Hk2, D).astype(jnp.float32)
+    if kv_scale is not None:
+        rows = rows * kv_scale
+    k = rows[:, :, 0::2, :]   # [B, S, Hk, D]
+    v = rows[:, :, 1::2, :]
     seg = jnp.clip(meta.q_segment_ids, 0, B - 1)
     kt = jnp.take(k, seg, axis=0)                 # [T, S, Hk, D]
     vt = jnp.take(v, seg, axis=0)

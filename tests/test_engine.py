@@ -151,3 +151,26 @@ def test_sampler_unit_top_k_p():
         for t in np.asarray(toks):
             counts[t] += 1
     assert counts[3] == 0 and all(counts[:3] > 0)
+
+
+def test_int8_kv_cache_engine_smoke(tiny_checkpoint, rng):
+    """kv_cache_dtype="int8": the engine runs end-to-end on int8 pages and
+    greedy output stays plausible (non-empty, correct length). Exact-match
+    parity is the bf16 path's job; int8 adds bounded quantization noise."""
+    llm = LLM(
+        tiny_checkpoint,
+        max_model_len=128,
+        max_num_batched_tokens=256,
+        max_num_seqs=4,
+        kvcache_block_size=8,
+        num_kvcache_blocks=64,
+        decode_bs_buckets=(2, 4),
+        prefill_token_buckets=(32, 64, 128, 256),
+        attention_impl="xla",
+        kv_cache_dtype="int8",
+    )
+    assert llm.model_runner.kv_pages.dtype == jnp.int8
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 13)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert all(len(o["token_ids"]) == 8 for o in outs)

@@ -154,3 +154,36 @@ def test_multi_seq_ragged_batch(hf_logits, loaded):
     logits = np.asarray(qwen3.compute_logits(params, qwen3.select_last_tokens(h, meta), sc))
     np.testing.assert_allclose(logits[0], ref[n1 - 1], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(logits[1], ref[n2 - 1], rtol=2e-3, atol=2e-3)
+
+
+def test_quantized_kv_cache_close_to_hf(hf_logits, loaded, tiny_config):
+    """int8 KV pages (global-scale dequant in attention) track HF logits
+    within quantization noise — the kv_cache_dtype="int8" engine extension."""
+    input_ids, ref = hf_logits
+    params, _ = loaded
+    scale = 0.0625
+    sc = Qwen3StaticConfig.from_model_config(
+        tiny_config, page_size=PS, pages_per_layer=16, attention_impl="xla",
+        store_interpret=True, kv_quant=("int8", scale))
+    L, Hk, D = sc.num_layers, sc.num_kv_heads, sc.head_dim
+    kv_pages = jnp.zeros((L * 16, PS, 2 * Hk, D), jnp.int8)
+
+    n = 32
+    table = [3, 5, 7, 9]
+    T = 48
+    meta = make_meta(T, [(0, n, n, table)])
+    ids = jnp.asarray(np.pad(input_ids[:n], (0, T - n)), jnp.int32)
+    h, kv_pages = qwen3.forward(params, ids, meta, kv_pages, sc)
+    logits = np.asarray(qwen3.compute_logits(params, qwen3.select_last_tokens(h, meta), sc))
+    assert kv_pages.dtype == jnp.int8
+    # same top-1 and small relative error vs the fp32 HF reference
+    assert logits[0].argmax() == ref[n - 1].argmax()
+    err = np.abs(logits[0] - ref[n - 1]).max() / (np.abs(ref[n - 1]).max() + 1e-6)
+    assert err < 0.08, err
+
+    # decode one token against the quantized cache
+    dmeta = make_meta(4, [(0, 1, 33, table + [11])])
+    ids = jnp.asarray([int(input_ids[32]), 0, 0, 0], jnp.int32)
+    h, kv_pages = qwen3.forward(params, ids, dmeta, kv_pages, sc)
+    logits = np.asarray(qwen3.compute_logits(params, qwen3.select_last_tokens(h, dmeta), sc))
+    assert logits[0].argmax() == ref[32].argmax()

@@ -159,7 +159,9 @@ def bench_decode(B, K, rtt):
     from nanovllm_tpu.sampling_params import SamplingParams
     from nanovllm_tpu.utils.model_path import get_model_path
 
-    cfg = Config(model=get_model_path(), max_model_len=4096)
+    import os
+    cfg = Config(model=get_model_path(), max_model_len=4096,
+                 kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"))
     runner = ModelRunner(cfg)
     npages = cfg.num_kvcache_blocks
     seqs = []

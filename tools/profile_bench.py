@@ -55,7 +55,8 @@ def main():
     ModelRunner.run_decode = run_decode
     LLMEngine._materialize_one = materialize
 
-    llm = LLM(get_model_path(), max_model_len=4096)
+    llm = LLM(get_model_path(), max_model_len=4096,
+              kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"))
 
     prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
                         for _ in range(num_seqs)]
