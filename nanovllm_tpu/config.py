@@ -114,11 +114,13 @@ class Config:
     # Decode steps fused into one device call (lax.scan): sampled tokens feed
     # the next step on device, so the host↔device round trip is paid once per
     # K steps instead of per token (the reference reads tokens back every
-    # step, model_runner.py:308-314).
-    decode_steps_per_call: int = 8
+    # step, model_runner.py:308-314). 16 measured ~8% faster than 8 on the
+    # offline bench (fewer materialization round trips); EOS detection lags
+    # by at most async_lag*K speculative tokens on EOS-terminated workloads.
+    decode_steps_per_call: int = 16
     # In-flight device calls the engine dispatches ahead of token
     # materialization (EOS detection lags by at most lag*K steps).
-    async_lag: int = 2
+    async_lag: int = 3
     dtype: str = "bfloat16"
     mesh_shape: tuple | None = None          # (data, model); default (dp, tp)
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)

@@ -186,6 +186,46 @@ def bench_decode(B, K, rtt):
           f"{dt/K*1e3:.2f} ms/step -> {B*K/dt:.0f} tok/s", flush=True)
 
 
+def bench_prefill(nseq, seqlen, rtt):
+    """Engine prefill call at a bench-realistic shape (nseq seqs x seqlen
+    fresh tokens), repeated with rotated page tables."""
+    import os
+    from nanovllm_tpu.config import Config
+    from nanovllm_tpu.engine.model_runner import ModelRunner
+    from nanovllm_tpu.engine.sequence import Sequence
+    from nanovllm_tpu.sampling_params import SamplingParams
+    from nanovllm_tpu.utils.model_path import get_model_path
+
+    cfg = Config(model=get_model_path(), max_model_len=4096,
+                 kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"))
+    runner = ModelRunner(cfg)
+    npages = cfg.num_kvcache_blocks
+    pages_per_seq = (seqlen + PS - 1) // PS
+
+    def make_seqs(offset):
+        seqs = []
+        for i in range(nseq):
+            s = Sequence(list(range(seqlen)),
+                         SamplingParams(max_tokens=8, ignore_eos=True))
+            s.block_table = [(offset + i * pages_per_seq + j) % npages
+                             for j in range(pages_per_seq)]
+            s.slot = i
+            seqs.append(s)
+        return seqs
+
+    toks = runner.run_prefill(make_seqs(0))
+    sync(toks)
+    n = 15
+    t = time.perf_counter()
+    for r in range(n):
+        toks = runner.run_prefill(make_seqs((r + 1) * nseq * pages_per_seq))
+    sync(toks)
+    dt = (time.perf_counter() - t - rtt) / n
+    tot = nseq * seqlen
+    print(f"prefill {nseq}x{seqlen} ({tot} tok): {dt*1e3:.1f} ms/call -> "
+          f"{tot/dt:.0f} tok/s", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -200,3 +240,6 @@ if __name__ == "__main__":
         bench_matmul(rtt)
     if which in ("decode", "all"):
         bench_decode(B, K, rtt)
+    if which == "prefill":
+        # B = num seqs, K = tokens per seq
+        bench_prefill(B, K, rtt)
