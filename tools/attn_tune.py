@@ -123,3 +123,10 @@ if __name__ == "__main__":
         # decode: 256 lanes, 1 q each, ctx 1024
         case = make_case(256, 1, 1024)
         sweep("decode B=256 ctx=1k", case, (4, 8, 16, 32, 64), (8, 16, 32), rtt)
+    if which.startswith("decodeB"):
+        # decodeB<B>[:ctx] — sweep one decode batch size
+        spec = which[len("decodeB"):]
+        B, _, ctx = spec.partition(":")
+        B, ctx = int(B), int(ctx or 1024)
+        case = make_case(B, 1, ctx)
+        sweep(f"decode B={B} ctx={ctx}", case, (2, 4, 8, 16), (4, 8, 16), rtt)
