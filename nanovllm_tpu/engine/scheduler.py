@@ -49,14 +49,24 @@ class Scheduler:
         # the bench). With reservation the pool never over-commits, so
         # preemption becomes a cold path instead of the steady state.
         self.reserve_on_admit = config.reserve_kv_on_admit
+        # Admission horizon: reserve prompt + fraction*max_tokens. 1.0 =
+        # worst-case (no preemption ever); < 1.0 over-commits the pool to
+        # raise decode concurrency — decode efficiency grows with batch
+        # size — and falls back to youngest-first preemption (with
+        # prefix-cache KV recovery) for the sequences that outrun the
+        # reservation. The fraction is the expected completion ratio of the
+        # workload; 0.5 matches uniform-random output lengths.
+        self.reserve_frac = config.kv_reserve_fraction
         self.total_blocks = config.num_kvcache_blocks
         self.committed_blocks = 0
         self.num_committed_seqs = 0
 
     def _projected_blocks(self, seq: Sequence) -> int:
-        """Worst-case page footprint of a sequence at its final length
+        """Page footprint of a sequence at its admission horizon
         (prefix-cache sharing only ever lowers actual use)."""
-        return (self._max_len(seq) + self.block_manager.block_size - 1) \
+        horizon = seq.num_prompt_tokens + int(self.reserve_frac * seq.max_tokens)
+        horizon = min(self._max_len(seq), max(horizon, len(seq) + 1))
+        return (horizon + self.block_manager.block_size - 1) \
             // self.block_manager.block_size
 
     def _commit(self, seq: Sequence):

@@ -51,13 +51,20 @@ def timed(name, step, state, n, rtt):
     return dt
 
 
+KV_DTYPE = jnp.bfloat16  # int8 via NANOVLLM_TUNE_KV=int8 (the bench default)
+KV_SCALE = None
+
+
 def make_case(num_seqs, q_per_seq, ctx):
     """Concatenated q stream of num_seqs seqs, each q_per_seq new tokens
     attending to ctx total context."""
     k = jax.random.key(0)
     T = num_seqs * q_per_seq
     q = jax.random.normal(k, (T, Hq, D), jnp.bfloat16)
-    pages = jax.random.normal(k, (P, PS, 2 * Hk, D), jnp.bfloat16)
+    if KV_DTYPE == jnp.int8:
+        pages = jax.random.randint(k, (P, PS, 2 * Hk, D), -127, 128, jnp.int8)
+    else:
+        pages = jax.random.normal(k, (P, PS, 2 * Hk, D), KV_DTYPE)
     kv_lens = jnp.full(num_seqs, ctx, jnp.int32)
     pi = np.zeros((num_seqs, W), np.int32)
     rng = np.random.default_rng(0)
@@ -86,6 +93,7 @@ def sweep(tag, case, bkvs, bqs, rtt, n=30):
                     q, pages, kv_lens, page_indices, cu, num,
                     sm_scale=0.0883, num_kv_pages_per_block=bkv,
                     num_queries_per_block=bq,
+                    k_scale=KV_SCALE, v_scale=KV_SCALE,
                     vmem_limit_bytes=100 * 2**20)
                 return o * 1e-3
             try:
@@ -104,6 +112,7 @@ def sweep(tag, case, bkvs, bqs, rtt, n=30):
     def step_default(q, pages):
         o = ragged_paged_attention(q, pages, kv_lens, page_indices, cu, num,
                                    sm_scale=0.0883,
+                                   k_scale=KV_SCALE, v_scale=KV_SCALE,
                                    vmem_limit_bytes=100 * 2**20)
         return o * 1e-3
     timed(f"{tag} DEFAULT", lambda q: step_default(q, pages),
@@ -111,10 +120,13 @@ def sweep(tag, case, bkvs, bqs, rtt, n=30):
 
 
 if __name__ == "__main__":
+    import os
+    if os.environ.get("NANOVLLM_TUNE_KV") == "int8":
+        KV_DTYPE, KV_SCALE = jnp.int8, 0.05
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     rtt = probe_rtt()
     print(f"probe RTT: {rtt*1e3:.1f} ms backend={jax.default_backend()} "
-          f"kind={jax.devices()[0].device_kind}", flush=True)
+          f"kind={jax.devices()[0].device_kind} kv={KV_DTYPE.__name__}", flush=True)
     if which in ("prefill", "all"):
         # bench-realistic prefill: 16 seqs x 1024 new tokens, no cached prefix
         case = make_case(16, 1024, 1024)

@@ -28,11 +28,18 @@ def main():
     max_input_len = int(os.environ.get("BENCH_MAX_INPUT", 1024))
     max_output_len = int(os.environ.get("BENCH_MAX_OUTPUT", 1024))
 
-    acc = {"prefill_dispatch_s": 0.0, "decode_dispatch_s": 0.0,
-           "materialize_s": 0.0, "schedule_s": 0.0}
+    acc = {"prefill_dispatch_s": 0.0, "prefill_prepare_s": 0.0,
+           "decode_dispatch_s": 0.0, "materialize_s": 0.0, "schedule_s": 0.0}
 
     rp, rd, mat = ModelRunner.run_prefill, ModelRunner.run_decode, \
         LLMEngine._materialize_one
+    prep = ModelRunner.prepare
+
+    def prepare(self, seqs, is_prefill=True):
+        t = time.perf_counter()
+        out = prep(self, seqs, is_prefill)
+        acc["prefill_prepare_s"] += time.perf_counter() - t
+        return out
 
     def run_prefill(self, seqs):
         t = time.perf_counter()
@@ -53,6 +60,7 @@ def main():
 
     ModelRunner.run_prefill = run_prefill
     ModelRunner.run_decode = run_decode
+    ModelRunner.prepare = prepare
     LLMEngine._materialize_one = materialize
 
     llm = LLM(get_model_path(), max_model_len=4096,
