@@ -93,13 +93,18 @@ class Config:
     quant_type: str | None = None            # per_tensor | per_row | per_group | smoothquant
     group_size: int = 128
     # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
-    # page bytes (≈2x the concurrent batch on a capacity-bound workload); the
-    # attention kernel dequantizes in-VMEM. The reference reserves this knob
-    # but never implements it (config.py:24 comment) — here it is real.
-    kv_cache_dtype: str = "auto"             # auto | int8 | fp8
-    # Global dequant scale for int8 KV (stored = round(x / scale)). Qwen3's
-    # per-head q/k RMSNorm keeps |k| ~ O(1); 1/16 covers ±7.9 with ~0.03
-    # rounding noise. fp8 (e4m3) needs no scale.
+    # page bytes (≈2x the concurrent batch on a capacity-bound workload) and
+    # "int4" quarters them; the attention kernel dequantizes in-VMEM (sub-byte
+    # dtypes ride its packed uint32 strided loads). The reference reserves
+    # this knob but never implements it (config.py:24 comment) — here it is
+    # real. int4 is EXPERIMENTAL: coarse global-scale noise, and tunneled
+    # PJRT transports cannot pass int4 jit arguments (tools/int4_probe.py) —
+    # it requires a direct-attached TPU.
+    kv_cache_dtype: str = "auto"             # auto | int8 | fp8 | int4
+    # Global dequant scale for int8/int4 KV (stored = round(x / scale)).
+    # Qwen3's per-head q/k RMSNorm keeps |k| ~ O(1); for int8, 1/16 covers
+    # ±7.9 with ~0.03 rounding noise. fp8 (e4m3) needs no scale. int4 uses
+    # 4x this scale (±7 quant levels vs ±127 at the same coverage).
     kv_cache_scale: float = 0.0625
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
     # Admit a prefill only when its worst-case final KV footprint
@@ -133,14 +138,15 @@ class Config:
     # (num_kv_pages_per_block, num_queries_per_block) for the ragged kernel,
     # per batch kind. The library's auto-tune table has no entries for this
     # GQA shape (16q/8kv heads, D=128, page=64) on v5e and falls back to
-    # (128, 32); the tools/attn_tune.py sweep measured 6.6x (prefill) / 4.0x
-    # (decode) faster blocks at bench-realistic shapes. Either one tuple for
-    # every shape bucket, or a dict {bucket: (bkv, bq)} keyed by the prefill
-    # token bucket / decode batch bucket (looked up at jit-build time: the
-    # smallest table key >= the bucket, else the largest). None = library
-    # default.
+    # (128, 32); the tools/attn_tune.py sweeps measured 6.6x (prefill) /
+    # 4.4x (decode) faster blocks at bench-realistic shapes. Either one tuple
+    # for every shape bucket, or a dict {bucket: (bkv, bq)} keyed by the
+    # prefill token bucket / decode batch bucket (looked up at jit-build
+    # time: the smallest table key >= the bucket, else the largest). None =
+    # library default. Decode defaults are the NANOVLLM_TUNE_KV=int8 sweep
+    # optima (the shipped KV dtype; bf16-page optima differ).
     attn_blocks_prefill: tuple | dict | None = (16, 256)
-    attn_blocks_decode: tuple | dict | None = (8, 16)
+    attn_blocks_decode: tuple | dict | None = (16, 8)
     # Pre-compile every prefill/decode shape bucket at engine init (the
     # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
     # 316-356). With the persistent jit cache this is a disk read after the
@@ -169,7 +175,7 @@ class Config:
         if self.quant_type is not None:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")
-        assert self.kv_cache_dtype in ("auto", "int8", "fp8")
+        assert self.kv_cache_dtype in ("auto", "int8", "fp8", "int4")
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"

@@ -81,6 +81,10 @@ class ModelRunner:
         if config.kv_cache_dtype == "int8":
             self.kv_dtype = jnp.int8
             self.kv_quant = ("int8", float(config.kv_cache_scale))
+        elif config.kv_cache_dtype == "int4":
+            # same absmax coverage as int8 over 1/16 the levels
+            self.kv_dtype = jnp.int4
+            self.kv_quant = ("int4", 4.0 * float(config.kv_cache_scale))
         elif config.kv_cache_dtype == "fp8":
             self.kv_dtype = jnp.float8_e4m3fn
             self.kv_quant = ("fp8", 1.0)
@@ -249,11 +253,14 @@ class ModelRunner:
 
     # ------------------------------------------------------------------ KV
     def _page_bytes(self):
-        """Bytes per logical page across all layers."""
+        """Bytes per logical page across all layers. Sub-byte dtypes (int4)
+        are stored packed on TPU (the attention kernel reads them via packed
+        uint32 strided loads), so count fractional bytes per element."""
         hf = self.config.hf_config
-        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        bits = jnp.finfo(self.kv_dtype).bits if jnp.issubdtype(
+            self.kv_dtype, jnp.floating) else jnp.iinfo(self.kv_dtype).bits
         return (hf.num_hidden_layers * self.page_size
-                * 2 * hf.num_key_value_heads * hf.head_dim * itemsize)
+                * 2 * hf.num_key_value_heads * hf.head_dim * bits) // 8
 
     def _allocate_kv_cache(self):
         """Size the pooled page cache from device memory (reference policy:
@@ -286,10 +293,14 @@ class ModelRunner:
         shape = (hf.num_hidden_layers * self.pages_per_layer, self.page_size,
                  2 * hf.num_key_value_heads, hf.head_dim)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
-        self.kv_pages = jnp.zeros(shape, self.kv_dtype, device=sharding)
+        # jitted zeros: eagerly materializing sub-byte (int4) constants can
+        # wedge a tunneled PJRT transport; under jit it is a device-side fill
+        zeros = jax.jit(lambda: jnp.zeros(shape, self.kv_dtype),
+                        out_shardings=sharding)
+        self.kv_pages = zeros()
         logger.info("KV cache: %d pages/layer x %d slots (%.2f GiB)",
                     cfg.num_kvcache_blocks, self.page_size,
-                    np.prod(shape) * jnp.dtype(self.kv_dtype).itemsize / 2**30)
+                    self.pages_per_layer * self._page_bytes() / 2**30)
 
     # ------------------------------------------------------------------ prep
     def prepare(self, seqs: list[Sequence], is_prefill: bool = True):

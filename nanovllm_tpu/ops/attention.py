@@ -105,6 +105,9 @@ def quantize_kv(kv_new, kv_quant: tuple):
     if kind == "int8":
         q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
         return jnp.clip(q, -127, 127).astype(jnp.int8)
+    if kind == "int4":
+        q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
+        return jnp.clip(q, -7, 7).astype(jnp.int4)
     if kind == "fp8":
         return kv_new.astype(jnp.float8_e4m3fn)
     raise ValueError(f"unknown kv_quant kind {kind!r}")

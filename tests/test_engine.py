@@ -174,3 +174,18 @@ def test_int8_kv_cache_engine_smoke(tiny_checkpoint, rng):
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     outs = llm.generate(prompts, sp, use_tqdm=False)
     assert all(len(o["token_ids"]) == 8 for o in outs)
+
+
+def test_blocks_for_bucket_lookup():
+    """Per-bucket attn-block tables resolve to the smallest key >= bucket,
+    else the largest; tuples and None pass through."""
+    from nanovllm_tpu.engine.model_runner import ModelRunner
+    f = ModelRunner._blocks_for
+    table = {64: (16, 16), 128: (16, 4), 256: (16, 8)}
+    assert f(table, 1) == (16, 16)
+    assert f(table, 64) == (16, 16)
+    assert f(table, 65) == (16, 4)
+    assert f(table, 256) == (16, 8)
+    assert f(table, 512) == (16, 8)   # beyond the largest key
+    assert f((8, 16), 512) == (8, 16)
+    assert f(None, 64) is None

@@ -72,3 +72,29 @@ def test_param_shardings_are_as_planned(tiny_config):
     assert spec(ly["down_proj"]["w"]) == jax.sharding.PartitionSpec(None, "model", None)
     assert spec(sharded["embed_tokens"]) == jax.sharding.PartitionSpec("model", None)
     assert spec(ly["input_ln"]) == jax.sharding.PartitionSpec()
+
+
+def test_tp4_fp8_matches_tp1(tmp_path_factory, prompts):
+    """BASELINE config 4 shape: FP8 weight+activation quant at TP=4 (virtual
+    devices) reproduces the TP=1 FP8 engine token-for-token. Needs a model
+    with 4 KV heads so heads shard evenly over the mesh."""
+    from nanovllm_tpu.config import ModelConfig
+    from nanovllm_tpu.utils.loader import save_synthetic_checkpoint
+
+    cfg = ModelConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=16, max_position_embeddings=256, rms_norm_eps=1e-6,
+        tie_word_embeddings=True)
+    path = tmp_path_factory.mktemp("ckpt4") / "tiny-qwen3-4kv"
+    save_synthetic_checkpoint(str(path), cfg, seed=3)
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    q_kw = dict(quant_type="per_row", linear_dtype="fp8",
+                activation_quant=True, **ENGINE_KW)
+    ref = LLM(str(path), **q_kw)
+    ref_outs = [o["token_ids"] for o in ref.generate(prompts, sp, use_tqdm=False)]
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    tp = LLM(str(path), mesh=mesh, **q_kw)
+    tp_outs = [o["token_ids"] for o in tp.generate(prompts, sp, use_tqdm=False)]
+    assert tp_outs == ref_outs
