@@ -319,6 +319,12 @@ class ModelRunner:
             # compat path (sync single-token decode, used by run())
             q_lens = np.ones(len(seqs), np.int64)
             T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
+        if is_prefill and T > cfg.prefill_token_buckets[-1]:
+            # a batch packed past the largest warmed bucket means a runtime
+            # compile of a double-size executable (and 2x compute waste) —
+            # the scheduler's token cap should make this unreachable
+            logger.warning("prefill bucket overflow: T=%d > max warmed %d",
+                           T, cfg.prefill_token_buckets[-1])
         self._last_bucket = T
 
         buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)

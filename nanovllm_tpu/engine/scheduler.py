@@ -96,14 +96,19 @@ class Scheduler:
         sampled token per seq). Empty seqs means nothing schedulable — the
         engine should materialize pending calls. Raises NeedDrain when a safe
         decision needs the pipeline drained first (only if ``can_drain``)."""
-        # prefill first (reference: scheduler.py:24-41)
+        # prefill first (reference: scheduler.py:24-41). The token cap leaves
+        # one page of headroom: batch prep buckets at q_sum + page_size (the
+        # KV store may over-read the stream by up to a page), and a batch
+        # packed to exactly max_num_batched_tokens would spill past the
+        # largest warmed-up bucket into a never-precompiled double-size one.
+        token_cap = self.max_num_batched_tokens - self.block_manager.block_size
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
         while self.waiting and num_seqs < self.max_num_seqs and self.free_slots:
             seq = self.waiting[0]
             new_tokens = len(seq) - seq.num_cached_tokens
-            if (num_batched_tokens + new_tokens > self.max_num_batched_tokens
+            if (num_batched_tokens + new_tokens > token_cap
                     or not self.block_manager.can_allocate(seq)):
                 break
             if (self.reserve_on_admit

@@ -273,3 +273,28 @@ def test_preemption_blocked_by_inflight_raises_needdrain():
     # drained: preemption proceeds
     seqs, is_prefill, steps = sch.schedule(can_drain=False)
     assert seqs == [a] and b.status == SequenceStatus.WAITING
+
+
+def test_prefill_batches_leave_bucket_margin():
+    """Prefill admission must stop one page short of max_num_batched_tokens:
+    batch prep buckets at q_sum + page_size, and packing to the exact cap
+    would spill past the largest precompiled bucket (runtime compile + 2x
+    compute on that call)."""
+    cfg = Config(
+        hf_config=ModelConfig(max_position_embeddings=512),
+        max_num_seqs=64,
+        max_num_batched_tokens=512,
+        max_model_len=512,
+        kvcache_block_size=16,
+        num_kvcache_blocks=512,
+        reserve_kv_on_admit=False,
+    )
+    sched = Scheduler(cfg)
+    for _ in range(10):
+        sched.add(Sequence(list(range(100)),
+                           SamplingParams(max_tokens=4, ignore_eos=True),
+                           block_size=16))
+    seqs, is_prefill, _ = sched.schedule()
+    assert is_prefill
+    total = sum(len(s) - s.num_cached_tokens for s in seqs)
+    assert total <= 512 - 16

@@ -64,9 +64,10 @@ def main():
     LLMEngine._materialize_one = materialize
 
     llm = LLM(get_model_path(), max_model_len=4096,
-              kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
-              decode_steps_per_call=int(os.environ.get("BENCH_DECODE_STEPS", 8)),
-              async_lag=int(os.environ.get("BENCH_ASYNC_LAG", 2)))
+              kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "int8"),
+              decode_steps_per_call=int(os.environ.get("BENCH_DECODE_STEPS", 16)),
+              async_lag=int(os.environ.get("BENCH_ASYNC_LAG", 3)),
+              kv_reserve_fraction=float(os.environ.get("BENCH_KV_RESERVE", 0.5)))
 
     prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
                         for _ in range(num_seqs)]
