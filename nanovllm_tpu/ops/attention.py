@@ -151,6 +151,11 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
         bkv, bq = blocks if blocks is not None else (None, None)
+        if bkv is not None:
+            # tuned for serving shapes; clamp to this call's geometry (the
+            # kernel requires bkv <= pages-per-seq and bq <= q tokens)
+            bkv = min(bkv, meta.page_indices.shape[1])
+            bq = min(bq, q.shape[0])
         return ragged_paged_attention(
             q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
             meta.num_seqs, sm_scale=scale,

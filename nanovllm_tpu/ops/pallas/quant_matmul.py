@@ -34,8 +34,12 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # dequant the weight tile in VMEM: [BK, BN] * scale row [BK/g=1, BN]
-    w = w_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    # dequant the weight tile in VMEM: [BK, BN] * this K-step's scale row.
+    # s_ref holds ALL group rows [n_k, BN] (a (1, BN) block would violate
+    # Mosaic's second-minor tiling: 1 is neither divisible by 8 nor the full
+    # dim); the row is selected dynamically on the sublane axis.
+    s = s_ref[pl.ds(k, 1), :].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32) * s
     acc_ref[:] += jnp.dot(x_ref[:], w.astype(x_ref.dtype),
                           preferred_element_type=jnp.float32)
 
@@ -75,7 +79,7 @@ def group_dequant_matmul(x, w_q, scale, *, group_size: int, block_t: int = 256,
         in_specs=[
             pl.BlockSpec((BT, BK), lambda t, n, k: (t, k)),
             pl.BlockSpec((BK, BN), lambda t, n, k: (k, n)),
-            pl.BlockSpec((1, BN), lambda t, n, k: (k, n)),
+            pl.BlockSpec((n_k, BN), lambda t, n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
         out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
@@ -89,3 +93,72 @@ def group_dequant_matmul(x, w_q, scale, *, group_size: int, block_t: int = 256,
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# ------------------------------------------------------------------- W8A8
+def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref, *, n_k: int):
+    """int8 x int8 -> int32 MXU tiles accumulated in VMEM; the per-row x
+    per-column scale product is applied in the epilogue before writeback —
+    the int32 accumulator never touches HBM (the XLA formulation's extra
+    [T, N] int32 round trip is what keeps it at ~45% of peak)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # scales ride as [1, BT] / [1, BN] lane vectors (1D operands trip
+        # XLA/Mosaic layout disagreements); the row scale is transposed to
+        # sublanes once per tile in the epilogue
+        sx = jnp.swapaxes(sx_ref[:].astype(jnp.float32), 0, 1)  # [BT, 1]
+        sw = sw_ref[:].astype(jnp.float32)                      # [1, BN]
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sx * sw).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def w8a8_matmul_pallas(x_q, sx, w_q, sw, *, block_t: int = 256,
+                       block_n: int = 512, block_k: int = 512,
+                       out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Fused W8A8 GEMM: x_q [T, K] int8, sx [T] f32, w_q [K, N] int8,
+    sw [N] f32 → [T, N] out_dtype. The TPU-native analogue of the
+    reference's fused Triton kernel (reference: quantization.py:54-144)."""
+    T, K = x_q.shape
+    _, N = w_q.shape
+    BT = min(block_t, _round_up(T, 32))  # int8 sublane packing: 32 rows
+    BN = min(block_n, N)
+    BK = min(block_k, K)
+    Tp, Np, Kp = _round_up(T, BT), _round_up(N, BN), _round_up(K, BK)
+    if Tp != T:
+        x_q = jnp.pad(x_q, ((0, Tp - T), (0, 0)))
+        sx = jnp.pad(sx, (0, Tp - T))
+    if Kp != K:
+        x_q = jnp.pad(x_q, ((0, 0), (0, Kp - K)))
+        w_q = jnp.pad(w_q, ((0, Kp - K), (0, 0)))
+    if Np != N:
+        w_q = jnp.pad(w_q, ((0, 0), (0, Np - N)))
+        sw = jnp.pad(sw, (0, Np - N))
+    n_k = Kp // BK
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        grid=(Tp // BT, Np // BN, n_k),
+        in_specs=[
+            pl.BlockSpec((BT, BK), lambda t, n, k: (t, k)),
+            pl.BlockSpec((BK, BN), lambda t, n, k: (k, n)),
+            pl.BlockSpec((1, BT), lambda t, n, k: (0, t)),
+            pl.BlockSpec((1, BN), lambda t, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
+        out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(x_q, w_q, sx[None, :], sw[None, :])
+    return out[:T, :N]

@@ -8,14 +8,32 @@ marked ``synthetic=True`` in the returned metadata — the harness stays
 runnable end-to-end and real data slots in transparently when present.
 """
 
+import os
 import random
 import string
+
+
+def _hub_reachable(timeout: float = 2.0) -> bool:
+    """Fast reachability probe so hub-less environments skip the datasets
+    library's multi-minute retry ladder and fall straight back to the
+    synthetic stand-ins. Honors explicit offline pins."""
+    if os.environ.get("HF_DATASETS_OFFLINE") == "1" \
+            or os.environ.get("HF_HUB_OFFLINE") == "1":
+        return True  # let datasets resolve from its local cache
+    import socket
+    try:
+        socket.create_connection(("huggingface.co", 443), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
 
 
 def load_wikitext(num_texts: int = 100):
     """→ (texts, synthetic). First ``num_texts`` of WikiText-2-raw test split
     (reference: test_ppl.py:35-38)."""
     try:
+        if not _hub_reachable():
+            raise OSError("hub unreachable")
         from datasets import load_dataset
         ds = load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
         return ds["text"][:num_texts], False
@@ -36,6 +54,8 @@ def load_mmlu(num_samples: int = 1000, seed: int = 42):
     question/choices/answer; shuffled with the reference's seed
     (reference: test_mmlu.py:26-29)."""
     try:
+        if not _hub_reachable():
+            raise OSError("hub unreachable")
         from datasets import load_dataset
         dataset = list(load_dataset("cais/mmlu", "all", split="test"))
         random.seed(seed)

@@ -226,6 +226,55 @@ def bench_prefill(nseq, seqlen, rtt):
           f"{tot/dt:.0f} tok/s", flush=True)
 
 
+def bench_qmm(rtt):
+    """Quantized GEMM roofline: W8A8 per-row (XLA int8 MXU dot + scale
+    epilogue) and the fused Pallas per-group dequant GEMM, at prefill-like
+    (compute-bound) and decode-like (weight-read-bound) shapes. v5e peak:
+    ~394 int8 TOPS / ~197 bf16 TFLOPs / ~819 GB/s HBM."""
+    from nanovllm_tpu.ops.quantization import (
+        per_group_quant, per_row_quant, quant_act_per_row, w8a8_matmul,
+        weight_only_matmul)
+
+    k = jax.random.key(0)
+    PEAK_INT8 = 394e12
+    PEAK_HBM = 819e9
+    for M, K, N in ((8192, 1024, 4096), (8192, 3072, 1024), (256, 1024, 4096)):
+        w = jax.random.normal(k, (K, N), jnp.bfloat16)
+        x_host = np.asarray(jax.random.normal(k, (M, K), jnp.bfloat16))
+        w_q, sw = per_row_quant(w)  # [K, N] -> per-out-channel scale [N]
+        flops = 2.0 * M * K * N
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_w8a8(x, w_q, sw):
+            x_q, sx = quant_act_per_row(x)
+            o = w8a8_matmul(x_q, sx, w_q, sw)
+            return o[:, :K] * 1e-3 if N >= K else jnp.pad(o, ((0, 0), (0, K - N))) * 1e-3
+
+        dt = timed_chain(f"w8a8 per-row M={M} K={K} N={N}",
+                         lambda x: step_w8a8(x, w_q, sw),
+                         jnp.asarray(x_host), 200, rtt)
+        util = flops / dt / PEAK_INT8
+        bw = (M * K + K * N + 2 * M * N) / dt / PEAK_HBM
+        print(f"  -> {flops/dt/1e12:.1f} TOPS ({util*100:.0f}% of int8 peak, "
+              f"{bw*100:.0f}% of HBM)", flush=True)
+
+        wg_q, sg = per_group_quant(w, group_size=128)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_group(x, wg_q, sg):
+            o = weight_only_matmul(x, wg_q, sg, group_size=128,
+                                   out_dtype=jnp.bfloat16)
+            return o[:, :K] * 1e-3 if N >= K else jnp.pad(o, ((0, 0), (0, K - N))) * 1e-3
+
+        dt = timed_chain(f"group-dequant g=128 M={M} K={K} N={N}",
+                         lambda x: step_group(x, wg_q, sg),
+                         jnp.asarray(x_host), 200, rtt)
+        util = flops / dt / 197e12
+        bw = (M * K * 2 + K * N + 2 * M * N) / dt / PEAK_HBM
+        print(f"  -> {flops/dt/1e12:.1f} TFLOPs ({util*100:.0f}% of bf16 peak, "
+              f"{bw*100:.0f}% of HBM)", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -245,51 +294,3 @@ if __name__ == "__main__":
         bench_prefill(B, K, rtt)
     if which == "qmm":
         bench_qmm(rtt)
-
-
-def bench_qmm(rtt):
-    """Quantized GEMM roofline: W8A8 per-row (XLA int8 MXU dot + scale
-    epilogue) and the fused Pallas per-group dequant GEMM, at prefill-like
-    (compute-bound) and decode-like (weight-read-bound) shapes. v5e peak:
-    ~394 int8 TOPS / ~197 bf16 TFLOPs / ~819 GB/s HBM."""
-    from nanovllm_tpu.ops.quantization import (
-        per_group_quant, per_row_quant, quant_act_per_row, w8a8_matmul,
-        weight_only_matmul)
-
-    k = jax.random.key(0)
-    PEAK_INT8 = 394e12
-    PEAK_HBM = 819e9
-    for M, K, N in ((8192, 1024, 4096), (8192, 3072, 1024), (256, 1024, 4096)):
-        w = jax.random.normal(k, (K, N), jnp.bfloat16)
-        x = jax.random.normal(k, (M, K), jnp.bfloat16)
-        w_q, sw = per_row_quant(w.T)  # [N, K] rows -> per-out-channel scale
-        w_q, sw = w_q.T, sw  # store [K, N]
-        flops = 2.0 * M * K * N
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def step_w8a8(x, w_q, sw):
-            x_q, sx = quant_act_per_row(x)
-            o = w8a8_matmul(x_q, sx, w_q, sw)
-            return o[:, :K] * 1e-3 if N >= K else jnp.pad(o, ((0, 0), (0, K - N))) * 1e-3
-
-        dt = timed_chain(f"w8a8 per-row M={M} K={K} N={N}",
-                         lambda x: step_w8a8(x, w_q, sw), x, 30, rtt)
-        util = flops / dt / PEAK_INT8
-        bw = (M * K + K * N + 2 * M * N) / dt / PEAK_HBM
-        print(f"  -> {flops/dt/1e12:.1f} TOPS ({util*100:.0f}% of int8 peak, "
-              f"{bw*100:.0f}% of HBM)", flush=True)
-
-        wg_q, sg = per_group_quant(w, group_size=128)
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def step_group(x, wg_q, sg):
-            o = weight_only_matmul(x, wg_q, sg, group_size=128,
-                                   out_dtype=jnp.bfloat16)
-            return o[:, :K] * 1e-3 if N >= K else jnp.pad(o, ((0, 0), (0, K - N))) * 1e-3
-
-        dt = timed_chain(f"group-dequant g=128 M={M} K={K} N={N}",
-                         lambda x: step_group(x, wg_q, sg), x, 30, rtt)
-        util = flops / dt / 197e12
-        bw = (M * K * 2 + K * N + 2 * M * N) / dt / PEAK_HBM
-        print(f"  -> {flops/dt/1e12:.1f} TFLOPs ({util*100:.0f}% of bf16 peak, "
-              f"{bw*100:.0f}% of HBM)", flush=True)
