@@ -27,20 +27,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, gpb: int):
+    """One K-step covers ``gpb`` quant groups (BK = gpb * group_size: the K
+    block must keep a 128-lane-legal shape even for group_size < 128)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # dequant the weight tile in VMEM: [BK, BN] * this K-step's scale row.
-    # s_ref holds ALL group rows [n_k, BN] (a (1, BN) block would violate
-    # Mosaic's second-minor tiling: 1 is neither divisible by 8 nor the full
-    # dim); the row is selected dynamically on the sublane axis.
-    s = s_ref[pl.ds(k, 1), :].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32) * s
-    acc_ref[:] += jnp.dot(x_ref[:], w.astype(x_ref.dtype),
+    # dequant the weight tile in VMEM: [BK, BN] * this K-step's scale rows.
+    # The caller lays the scales out as one 8-sublane-aligned row block per
+    # K step (Mosaic rejects dynamic sublane starts it cannot prove are
+    # multiples of 8); rows 0..gpb-1 of this step's block are the scales.
+    s = s_ref[:gpb, :].astype(jnp.float32)  # [gpb, BN]
+    BK, BN = w_ref.shape
+    w = w_ref[:].astype(jnp.float32).reshape(gpb, BK // gpb, BN) * s[:, None, :]
+    acc_ref[:] += jnp.dot(x_ref[:], w.reshape(BK, BN).astype(x_ref.dtype),
                           preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
@@ -61,7 +64,11 @@ def group_dequant_matmul(x, w_q, scale, *, group_size: int, block_t: int = 256,
     T, K = x.shape
     _, N = w_q.shape
     assert K % group_size == 0, (K, group_size)
-    BK = group_size
+    BK = max(group_size, 128)          # lane-legal K block
+    while K % BK:                      # group_size >= 128 always divides K;
+        BK //= 2                       # for g < 128 fall back toward g
+    gpb = BK // group_size
+    assert gpb >= 1 and BK % group_size == 0, (BK, group_size)
     BT = min(block_t, _round_up(T, 8))
     BN = min(block_n, N)
     Tp = _round_up(T, BT)
@@ -72,14 +79,21 @@ def group_dequant_matmul(x, w_q, scale, *, group_size: int, block_t: int = 256,
         w_q = jnp.pad(w_q, ((0, 0), (0, Np - N)))
         scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
     n_k = K // BK
+    # one 8-row sublane-aligned scale block per K step: row 8k+j holds the
+    # scale of step k's group j (rows gpb..7 replicate the last group; the
+    # kernel reads only the first gpb)
+    assert gpb <= 8, (group_size, BK)
+    row = jnp.arange(n_k * 8, dtype=jnp.int32)
+    gather = (row // 8) * gpb + jnp.minimum(row % 8, gpb - 1)
+    scale8 = jnp.take(scale, gather, axis=0)  # [n_k * 8, Np]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
+        functools.partial(_kernel, n_k=n_k, gpb=gpb),
         grid=(Tp // BT, Np // BN, n_k),
         in_specs=[
             pl.BlockSpec((BT, BK), lambda t, n, k: (t, k)),
             pl.BlockSpec((BK, BN), lambda t, n, k: (k, n)),
-            pl.BlockSpec((n_k, BN), lambda t, n, k: (0, n)),
+            pl.BlockSpec((8, BN), lambda t, n, k: (k, n)),
         ],
         out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
         out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
@@ -87,7 +101,7 @@ def group_dequant_matmul(x, w_q, scale, *, group_size: int, block_t: int = 256,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(x, w_q, scale)
+    )(x, w_q, scale8)
     return out[:T, :N]
 
 

@@ -112,11 +112,13 @@ def w8a8_matmul(x_q, sx, w_q, sw, out_dtype=jnp.bfloat16):
         if _on_tpu() and x_q.shape[0] >= 1024 and sw.ndim == 1:
             # prefill-shaped: the fused Pallas kernel keeps the int32
             # accumulator in VMEM and applies the scale product in its
-            # epilogue — measured 260 vs 212 TOPS (66% vs 54% of the int8
-            # MXU peak) against this XLA formulation at M=8192 K=1024 N=4096
+            # epilogue — measured 249-260 vs 212 TOPS (63-66% vs 54% of the
+            # int8 MXU peak) against this XLA formulation at M=8192 K=1024
+            # N=4096. block_t=1024 is ~4% faster but overflows the 16 MB
+            # scoped VMEM at K>=2048 shapes; 512 fits everywhere.
             from nanovllm_tpu.ops.pallas.quant_matmul import w8a8_matmul_pallas
             return w8a8_matmul_pallas(x_q, sx, w_q, sw,
-                                      block_t=1024, block_n=1024,
+                                      block_t=512, block_n=1024,
                                       block_k=1024, out_dtype=out_dtype)
         acc = jax.lax.dot_general(
             x_q, w_q, (((1,), (0,)), ((), ())),
