@@ -189,3 +189,26 @@ def test_blocks_for_bucket_lookup():
     assert f(table, 512) == (16, 8)   # beyond the largest key
     assert f((8, 16), 512) == (8, 16)
     assert f(None, 64) is None
+
+
+def test_partial_kv_reservation_matches_full(tiny_checkpoint, rng):
+    """kv_reserve_fraction < 1 over-commits the pool for occupancy and leans
+    on preemption + prefix-cache recovery; outputs must match the worst-case
+    reservation engine token-for-token (greedy)."""
+    kw = dict(max_model_len=128, max_num_batched_tokens=256, max_num_seqs=8,
+              kvcache_block_size=8, attention_impl="xla",
+              decode_bs_buckets=(2, 4, 8),
+              prefill_token_buckets=(32, 64, 128, 256))
+    full = LLM(tiny_checkpoint, num_kvcache_blocks=96,
+               kv_reserve_fraction=1.0, **kw)
+    # pool sized so worst-case admission throttles but half-horizon
+    # over-commits and must preempt when sequences outrun it
+    tight = LLM(tiny_checkpoint, num_kvcache_blocks=20,
+                kv_reserve_fraction=0.3, **kw)
+    prompts = [rng.integers(0, 512, size=int(n)).tolist()
+               for n in (9, 17, 11, 23, 13)]
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    a = full.generate(prompts, sp, use_tqdm=False)
+    b = tight.generate(prompts, sp, use_tqdm=False)
+    for x, y in zip(a, b):
+        assert x["token_ids"] == y["token_ids"]
