@@ -108,7 +108,12 @@ class Scheduler:
         while self.waiting and num_seqs < self.max_num_seqs and self.free_slots:
             seq = self.waiting[0]
             new_tokens = len(seq) - seq.num_cached_tokens
-            if (num_batched_tokens + new_tokens > token_cap
+            # the soft cap only applies once the batch is non-empty: a lone
+            # prompt of exactly max_num_batched_tokens tokens must still be
+            # schedulable (it pays the one-off double-bucket spill instead
+            # of starving)
+            if ((num_batched_tokens + new_tokens > token_cap and scheduled)
+                    or num_batched_tokens + new_tokens > self.max_num_batched_tokens
                     or not self.block_manager.can_allocate(seq)):
                 break
             if (self.reserve_on_admit

@@ -298,3 +298,23 @@ def test_prefill_batches_leave_bucket_margin():
     assert is_prefill
     total = sum(len(s) - s.num_cached_tokens for s in seqs)
     assert total <= 512 - 16
+
+
+def test_lone_full_length_prompt_is_schedulable():
+    """A single prompt of exactly max_num_batched_tokens must still be
+    admitted (the bucket-margin soft cap applies only to non-empty batches;
+    a lone oversized prompt pays the one-off bucket spill, never starves)."""
+    cfg = Config(
+        hf_config=ModelConfig(max_position_embeddings=256),
+        max_num_seqs=4,
+        max_num_batched_tokens=256,
+        max_model_len=256,
+        kvcache_block_size=16,
+        num_kvcache_blocks=64,
+        reserve_kv_on_admit=False,
+    )
+    sched = Scheduler(cfg)
+    sched.add(Sequence(list(range(256)), SamplingParams(max_tokens=1),
+                       block_size=16))
+    seqs, is_prefill, _ = sched.schedule()
+    assert is_prefill and len(seqs) == 1
