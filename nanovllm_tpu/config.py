@@ -146,7 +146,7 @@ class Config:
     # library default. Decode defaults are the NANOVLLM_TUNE_KV=int8 sweep
     # optima (the shipped KV dtype; bf16-page optima differ).
     attn_blocks_prefill: tuple | dict | None = (16, 256)
-    attn_blocks_decode: tuple | dict | None = (16, 8)
+    attn_blocks_decode: tuple | dict | None | str = "auto"  # by KV dtype
     # Pre-compile every prefill/decode shape bucket at engine init (the
     # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
     # 316-356). With the persistent jit cache this is a disk read after the
@@ -179,6 +179,11 @@ class Config:
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"
+        if self.attn_blocks_decode == "auto":
+            # block optima differ by page dtype (tools/attn_tune.py sweeps):
+            # int8 pages want (16, 8); bf16 pages want (8, 16)
+            self.attn_blocks_decode = ((16, 8) if self.kv_cache_dtype
+                                       in ("int8", "fp8", "int4") else (8, 16))
         if self.attention_impl == "xla":
             # The masked-softmax oracle materializes [T, B-context] fp32
             # scores; bound the batch so it stays test-sized. The Pallas

@@ -82,9 +82,9 @@ class ModelRunner:
             self.kv_dtype = jnp.int8
             self.kv_quant = ("int8", float(config.kv_cache_scale))
         elif config.kv_cache_dtype == "int4":
-            # same absmax coverage as int8 over 1/16 the levels
+            # same absmax coverage as int8 (±127*scale) over ±7 levels
             self.kv_dtype = jnp.int4
-            self.kv_quant = ("int4", 4.0 * float(config.kv_cache_scale))
+            self.kv_quant = ("int4", (127.0 / 7.0) * float(config.kv_cache_scale))
         elif config.kv_cache_dtype == "fp8":
             self.kv_dtype = jnp.float8_e4m3fn
             self.kv_quant = ("fp8", 1.0)
@@ -325,7 +325,6 @@ class ModelRunner:
             # the scheduler's token cap should make this unreachable
             logger.warning("prefill bucket overflow: T=%d > max warmed %d",
                            T, cfg.prefill_token_buckets[-1])
-        self._last_bucket = T
 
         buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)
 
@@ -365,12 +364,11 @@ class ModelRunner:
         v["store_row_dst_pos"][:] = store[4]
         v["store_counts"][:] = store[5]
         v["step_ctr"][0] = self._next_ctr()
-        return buf, fbuf
+        return buf, fbuf, T
 
     def prepare_decode(self, seqs: list[Sequence], steps: list[int]):
         cfg = self.config
         B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
-        self._last_bucket = B
         buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, self.pack_layout)
         slot_ids, kv_lens = v["slot_ids"], v["kv_lens"]
         steps_left, page_indices = v["steps_left"], v["page_indices"]
@@ -386,7 +384,7 @@ class ModelRunner:
             top_ps[i] = seq.top_p
         v["num_seqs"][0] = len(seqs)
         v["step_ctr"][0] = self._next_ctr()
-        return buf, fbuf
+        return buf, fbuf, B
 
     # ------------------------------------------------------------------ run
     def _next_ctr(self) -> int:
@@ -398,8 +396,8 @@ class ModelRunner:
     def run_prefill(self, seqs: list[Sequence]) -> jax.Array:
         """Dispatch one prefill call; returns the [B] device token array
         (sampled first completion token per seq) without blocking."""
-        buf, fbuf = self.prepare(seqs, True)
-        fn = self._prefill_jit(self._needs_topkp(seqs), self._last_bucket)
+        buf, fbuf, T = self.prepare(seqs, True)
+        fn = self._prefill_jit(self._needs_topkp(seqs), T)
         tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, buf, fbuf,
             self.rng_key)
@@ -409,9 +407,8 @@ class ModelRunner:
                    num_steps: int) -> jax.Array:
         """Dispatch one K-step decode call; returns the [K, B] device token
         matrix without blocking."""
-        buf, fbuf = self.prepare_decode(seqs, steps)
-        fn = self._decode_jit(num_steps, self._needs_topkp(seqs),
-                              self._last_bucket)
+        buf, fbuf, B = self.prepare_decode(seqs, steps)
+        fn = self._decode_jit(num_steps, self._needs_topkp(seqs), B)
         tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, buf, fbuf,
             self.rng_key)

@@ -214,6 +214,9 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     B, Hq, D = q.shape
     P, ps, Hk2, _ = kv_pages.shape
     Hk = Hk2 // 2
+    # the lane-replicated m/l scratch is sized [Hq, 128] and broadcast
+    # against [G, D] accumulators — other head_dims need resized scratch
+    assert D == 128, f"flash_decode_attention requires head_dim 128, got {D}"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -15,8 +15,7 @@ import string
 
 def _hub_reachable(timeout: float = 2.0) -> bool:
     """Fast reachability probe so hub-less environments skip the datasets
-    library's multi-minute retry ladder and fall straight back to the
-    synthetic stand-ins. Honors explicit offline pins."""
+    library's multi-minute retry ladder. Honors explicit offline pins."""
     if os.environ.get("HF_DATASETS_OFFLINE") == "1" \
             or os.environ.get("HF_HUB_OFFLINE") == "1":
         return True  # let datasets resolve from its local cache
@@ -28,14 +27,29 @@ def _hub_reachable(timeout: float = 2.0) -> bool:
         return False
 
 
+def _load_dataset(*args, **kwargs):
+    """load_dataset that is fast in hub-less environments: when the hub is
+    unreachable, retry from the LOCAL cache (offline mode) before giving up —
+    an air-gapped box with a populated cache still gets real data."""
+    from datasets import load_dataset
+    if _hub_reachable():
+        return load_dataset(*args, **kwargs)
+    saved = os.environ.get("HF_DATASETS_OFFLINE")
+    os.environ["HF_DATASETS_OFFLINE"] = "1"
+    try:
+        return load_dataset(*args, **kwargs)
+    finally:
+        if saved is None:
+            os.environ.pop("HF_DATASETS_OFFLINE", None)
+        else:
+            os.environ["HF_DATASETS_OFFLINE"] = saved
+
+
 def load_wikitext(num_texts: int = 100):
     """→ (texts, synthetic). First ``num_texts`` of WikiText-2-raw test split
     (reference: test_ppl.py:35-38)."""
     try:
-        if not _hub_reachable():
-            raise OSError("hub unreachable")
-        from datasets import load_dataset
-        ds = load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
+        ds = _load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
         return ds["text"][:num_texts], False
     except Exception:
         rng = random.Random(1234)
@@ -54,13 +68,10 @@ def load_mmlu(num_samples: int = 1000, seed: int = 42):
     question/choices/answer; shuffled with the reference's seed
     (reference: test_mmlu.py:26-29)."""
     try:
-        if not _hub_reachable():
-            raise OSError("hub unreachable")
-        from datasets import load_dataset
-        dataset = list(load_dataset("cais/mmlu", "all", split="test"))
+        dataset = list(_load_dataset("cais/mmlu", "all", split="test"))
         random.seed(seed)
         random.shuffle(dataset)
-        dev = list(load_dataset("cais/mmlu", "all", split="dev"))[:5]
+        dev = list(_load_dataset("cais/mmlu", "all", split="dev"))[:5]
         return dataset[:num_samples], dev, False
     except Exception:
         rng = random.Random(seed)
