@@ -152,6 +152,10 @@ class Config:
     # 316-356). With the persistent jit cache this is a disk read after the
     # first run on a machine; it keeps compiles out of the serving path.
     warmup_jit: bool = True
+    # Also pre-compile the top-k/top-p sampler variant of every bucket
+    # (doubles first-ever warmup time; without it the first request using
+    # top_k/top_p pays a runtime compile per bucket).
+    warmup_topkp: bool = True
 
     def __post_init__(self):
         # Pallas paged kernels want TPU-lane-aligned pages; the XLA fallback

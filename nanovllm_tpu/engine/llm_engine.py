@@ -2,8 +2,8 @@
 
 Capability parity with the reference LLMEngine (reference:
 nanovllm/engine/llm_engine.py:15-93). No worker processes to spawn or tear
-down — one JAX process drives the whole mesh — so ``exit`` is trivial and
-there is no atexit choreography.
+down — one JAX process drives the whole local mesh — so ``exit`` is trivial
+and there is no atexit choreography.
 
 Async pipeline: each ``step`` dispatches one device call (a ragged prefill or
 a K-step decode scan) and only *later* materializes its sampled tokens —
@@ -12,9 +12,19 @@ ahead, so the device-transfer round trip (≈40 ms on a tunneled TPU, ≈µs on
 PCIe) never serializes the token loop. EOS detection and prefix-cache hash
 commits happen at materialization, lagging by at most
 ``async_lag * decode_steps_per_call`` tokens of (discarded) speculative work.
+
+Multi-host lockstep (``jax.process_count() > 1``): every process runs the
+same script; process 0 is the controller (scheduler + materialization) and
+broadcasts each step's packed plan over a ``PlanChannel`` before dispatching;
+workers replay the identical jit calls so all hosts enter every collective in
+lockstep. Sampling is SPMD-deterministic (the PRNG key derives from the
+broadcast step counter), so no token gather is needed — the replacement for
+the reference's SharedMemory RPC control plane (reference:
+nanovllm/engine/model_runner.py:67-115, per SURVEY.md §5.8).
 """
 
 import os
+import pickle
 import time
 from collections import deque
 from dataclasses import fields
@@ -35,11 +45,23 @@ class LLMEngine:
         config = Config(model, **config_kwargs)
         self.config = config
         mesh = kwargs.get("mesh")
-        if mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
+        self.channel = None
+        self.is_controller = True
+        import jax
+        if jax.process_count() > 1:
+            from nanovllm_tpu.parallel import distributed as dist
+            self.is_controller = jax.process_index() == 0
+            self.channel = dist.PlanChannel(self.is_controller)
+            if mesh is None:
+                mesh = dist.make_multihost_mesh(
+                    config.data_parallel_size, config.tensor_parallel_size)
+        elif mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
             from nanovllm_tpu.parallel.sharding import make_mesh
             mesh = make_mesh(config.data_parallel_size, config.tensor_parallel_size)
         self.model_runner = ModelRunner(config, mesh=mesh)
         self.model_runner.warmup_jit()
+        if self.channel is not None:
+            self._verify_lockstep()
         self.tokenizer = _load_tokenizer(config.model)
         if self.tokenizer is not None and config.eos == -1:
             config.eos = self.tokenizer.eos_token_id
@@ -51,7 +73,22 @@ class LLMEngine:
         # postfix, reference: llm_engine.py:76-84)
         self.metrics = {"prefill_tokens": 0, "decode_tokens": 0,
                         "prefill_calls": 0, "decode_calls": 0,
-                        "preemptions": 0, "requests_finished": 0}
+                        "preemptions": 0, "requests_finished": 0,
+                        "decode_tokens_used": 0}
+
+    def _verify_lockstep(self):
+        """Init-time handshake: every process must have derived identical
+        shapes (KV pages, pack layout) or the lockstep jits would diverge."""
+        from nanovllm_tpu.parallel.distributed import PLAN_SYNC
+        fp = (self.config.num_kvcache_blocks, self.model_runner.pages_per_layer,
+              *self.model_runner.pack_layout)
+        if self.is_controller:
+            self.channel.send(PLAN_SYNC, payload=pickle.dumps(fp))
+        else:
+            kind, _, payload = self.channel.recv()
+            assert kind == PLAN_SYNC
+            theirs = pickle.loads(payload)
+            assert theirs == fp, f"lockstep config mismatch: {theirs} != {fp}"
 
     def add_request(self, prompt, sampling_params: SamplingParams = SamplingParams()):
         if isinstance(prompt, str):
@@ -71,6 +108,41 @@ class LLMEngine:
             self._finished.append((seq.seq_id, seq.completion_token_ids))
             self.metrics["requests_finished"] += 1
 
+    def _dispatch(self, seqs, is_prefill: bool, steps, num_steps: int):
+        """Prepare one device call's packed plan, broadcast it to worker
+        processes (multi-host lockstep), and dispatch locally."""
+        mr = self.model_runner
+        use_topkp = mr._needs_topkp(seqs)
+        if is_prefill:
+            buf, fbuf, bucket = mr.prepare(seqs, True)
+        else:
+            buf, fbuf, bucket = mr.prepare_decode(seqs, steps)
+        if self.channel is not None:
+            from nanovllm_tpu.parallel.distributed import PLAN_STEP
+            self.channel.send(
+                PLAN_STEP,
+                ints=(int(is_prefill), bucket, num_steps, int(use_topkp),
+                      buf.shape[0]),
+                payload=buf.tobytes() + fbuf.tobytes())
+        return mr.dispatch(is_prefill, bucket, num_steps, use_topkp, buf, fbuf)
+
+    def run_worker_step(self) -> bool:
+        """Worker-process side of the lockstep protocol: receive one plan and
+        replay it. Returns False when the controller signals end-of-generate
+        (payload = the pickled outputs, stored on ``self._worker_outputs``)."""
+        from nanovllm_tpu.parallel.distributed import PLAN_DONE, PLAN_STEP
+        kind, ints, payload = self.channel.recv()
+        if kind == PLAN_STEP:
+            is_prefill, bucket, num_steps, use_topkp, nbuf = ints[:5]
+            buf = np.frombuffer(payload[:4 * nbuf], np.int32)
+            fbuf = np.frombuffer(payload[4 * nbuf:], np.float32)
+            self.model_runner.dispatch(bool(is_prefill), bucket, num_steps,
+                                       bool(use_topkp), buf, fbuf)
+            return True
+        assert kind == PLAN_DONE
+        self._worker_outputs = pickle.loads(payload)
+        return False
+
     def step(self):
         """One scheduling + dispatch step (reference: llm_engine.py:48-54).
         Returns (finished outputs, num_tokens) where num_tokens > 0 counts
@@ -88,15 +160,15 @@ class LLMEngine:
                 self._materialize_one()
         if seqs:
             if is_prefill:
-                tokens = self.model_runner.run_prefill(seqs)
+                tokens = self._dispatch(seqs, True, steps, 1)
                 num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
                 for s in seqs:
                     s.num_sched_tokens = s.num_tokens + 1
                 self.metrics["prefill_tokens"] += num_tokens
                 self.metrics["prefill_calls"] += 1
             else:
-                tokens = self.model_runner.run_decode(
-                    seqs, steps, self.config.decode_steps_per_call)
+                tokens = self._dispatch(seqs, False, steps,
+                                        self.config.decode_steps_per_call)
                 num_tokens = -sum(steps)
                 for s, k in zip(seqs, steps):
                     s.num_sched_tokens += k
@@ -141,6 +213,13 @@ class LLMEngine:
                 jax.profiler.stop_trace()
 
     def _generate(self, prompts, sampling_params, use_tqdm: bool) -> list[dict]:
+        if self.channel is not None and not self.is_controller:
+            # SPMD-style call: workers replay broadcast plans until the
+            # controller's matching generate() finishes, then return the
+            # same outputs (broadcast with the DONE plan).
+            while self.run_worker_step():
+                pass
+            return self._worker_outputs
         if use_tqdm:
             pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
         if not isinstance(sampling_params, list):
@@ -169,6 +248,9 @@ class LLMEngine:
                   else lambda ids: "")
         outputs = [{"text": decode(token_ids), "token_ids": token_ids}
                    for token_ids in outputs]
+        if self.channel is not None:
+            from nanovllm_tpu.parallel.distributed import PLAN_DONE
+            self.channel.send(PLAN_DONE, payload=pickle.dumps(outputs))
         if use_tqdm:
             pbar.close()
         return outputs

@@ -92,11 +92,25 @@ class ModelRunner:
             self.kv_dtype = self.dtype
             self.kv_quant = None
         self.mesh = mesh
-        self.rng_key = jax.random.key(0)
         self.step_counter = 0
 
         from nanovllm_tpu.parallel.sharding import ShardingPlan
         self.plan = ShardingPlan(mesh) if mesh is not None else None
+        # All platform-dependent decisions key off the device the state
+        # actually lives on (the mesh's), not the process default backend —
+        # they can differ (e.g. a CPU-mesh dry run in a TPU-default process).
+        self._dev0 = (mesh.devices.flat[0] if mesh is not None
+                      else jax.devices()[0])
+        self.platform = self._dev0.platform
+        if self.plan is not None:
+            # jitted constant: extended (PRNG-key) dtypes can't ride
+            # make_array_from_callback, and jit handles multi-host meshes
+            self.rng_key = jax.jit(
+                lambda: jax.random.key(0),
+                out_shardings=self.plan.replicated())()
+        else:
+            with jax.default_device(self._dev0):
+                self.rng_key = jax.device_put(jax.random.key(0), self._dev0)
 
         # --- parameters ---
         if params is None:
@@ -109,14 +123,15 @@ class ModelRunner:
         if self.plan is not None:
             params = self.plan.shard_params(params)
         else:
-            params = jax.device_put(params)
+            params = jax.device_put(params, self._dev0)
         self.params = jax.block_until_ready(params)
 
         # --- KV cache (needs pages_per_layer before the static config) ---
         self._allocate_kv_cache()
 
         # --- persistent per-slot last-token buffer (device-fed decode) ---
-        self.last_tokens = jnp.zeros((config.max_num_seqs,), jnp.int32)
+        self.last_tokens = self._replicate(
+            np.zeros((config.max_num_seqs,), np.int32))
 
         quant_cfg = None
         if config.quant_type == "smoothquant":
@@ -131,7 +146,7 @@ class ModelRunner:
             hf, page_size=self.page_size,
             pages_per_layer=self.pages_per_layer,
             attention_impl=config.attention_impl,
-            store_interpret=jax.default_backend() != "tpu",
+            store_interpret=self.platform != "tpu",
             quant_cfg=quant_cfg,
             attn_blocks_prefill=config.attn_blocks_prefill,
             attn_blocks_decode=config.attn_blocks_decode,
@@ -148,6 +163,14 @@ class ModelRunner:
             NP=config.max_num_batched_tokens // self.page_size + config.max_num_seqs,
             NS=config.max_num_seqs)
 
+    def _replicate(self, x):
+        """Place host data on the runner's device(s): replicated over the mesh
+        when sharded (multi-host safe), plain device_put otherwise."""
+        if self.plan is not None:
+            from nanovllm_tpu.parallel.sharding import put_global
+            return put_global(x, self.plan.replicated())
+        return jax.device_put(x, self._dev0)
+
     @staticmethod
     def _blocks_for(table, bucket):
         """Resolve an attn-blocks config (tuple | dict | None) at a shape
@@ -158,6 +181,15 @@ class ModelRunner:
         key = next((k for k in keys if k >= bucket), keys[-1])
         return tuple(table[key])
 
+    def _step_out_shardings(self):
+        """(tokens, kv_pages, last_tokens) output shardings when on a mesh:
+        tokens/last_tokens replicated (the controller must be able to read
+        tokens on every host), kv_pages kept on the kv-head sharding."""
+        if self.plan is None:
+            return None
+        return (self.plan.replicated(), self.plan.kv_sharding(),
+                self.plan.replicated())
+
     def _prefill_jit(self, use_topkp: bool, T: int):
         blocks = self._blocks_for(self.config.attn_blocks_prefill, T)
         key = (use_topkp, blocks)
@@ -166,7 +198,8 @@ class ModelRunner:
             sc = self.sc._replace(attn_blocks_prefill=blocks)
             fn = jax.jit(partial(_prefill_step_packed, sc=sc,
                                  layout=self.pack_layout, use_topkp=use_topkp),
-                         donate_argnums=(1, 2))
+                         donate_argnums=(1, 2),
+                         out_shardings=self._step_out_shardings())
             self._prefill_jits[key] = fn
         return fn
 
@@ -179,7 +212,8 @@ class ModelRunner:
             fn = jax.jit(partial(_decode_steps_packed, sc=sc,
                                  layout=self.pack_layout, num_steps=num_steps,
                                  use_topkp=use_topkp),
-                         donate_argnums=(1, 2))
+                         donate_argnums=(1, 2),
+                         out_shardings=self._step_out_shardings())
             self._decode_jits[key] = fn
         return fn
 
@@ -195,10 +229,14 @@ class ModelRunner:
         aborts the ragged kernel on device). With the persistent jit cache
         this is a disk read after the first run on a machine."""
         cfg = self.config
-        if jax.default_backend() != "tpu" or not cfg.warmup_jit:
+        if self.platform != "tpu" or not cfg.warmup_jit:
             return
         layout = self.pack_layout
         garbage = cfg.num_kvcache_blocks  # logical id of the sink page
+        # both sampler variants per bucket: the first top-k/top-p request must
+        # not pay a serving-path compile (with the persistent cache this is a
+        # disk read after the first run on a machine)
+        topkp_variants = (False, True) if cfg.warmup_topkp else (False,)
         for T in cfg.prefill_token_buckets:
             buf, fbuf, v, fv = meta_pack.new_prefill_bufs(T, layout)
             v["num_seqs"][0] = 1
@@ -209,11 +247,12 @@ class ModelRunner:
             v["slot_ids"][0] = 0
             v["store_row_dst_page"][0] = garbage
             v["store_counts"][1] = 1
-            v["step_ctr"][0] = self._next_ctr()
-            fn = self._prefill_jit(False, T)
-            tokens, self.kv_pages, self.last_tokens = fn(
-                self.params, self.kv_pages, self.last_tokens, buf, fbuf,
-                self.rng_key)
+            for use_topkp in topkp_variants:
+                v["step_ctr"][0] = self._next_ctr()
+                fn = self._prefill_jit(use_topkp, T)
+                tokens, self.kv_pages, self.last_tokens = fn(
+                    self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+                    self.rng_key)
             logger.info("warmup: prefill bucket T=%d compiled", T)
         for B in cfg.decode_bs_buckets:
             buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, layout)
@@ -221,18 +260,20 @@ class ModelRunner:
             v["slot_ids"][0] = 0
             v["steps_left"][0] = 1
             v["page_indices"][0, 0] = garbage
-            v["step_ctr"][0] = self._next_ctr()
-            fn = self._decode_jit(cfg.decode_steps_per_call, False, B)
-            tokens, self.kv_pages, self.last_tokens = fn(
-                self.params, self.kv_pages, self.last_tokens, buf, fbuf,
-                self.rng_key)
+            for use_topkp in topkp_variants:
+                v["step_ctr"][0] = self._next_ctr()
+                fn = self._decode_jit(cfg.decode_steps_per_call, use_topkp, B)
+                tokens, self.kv_pages, self.last_tokens = fn(
+                    self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+                    self.rng_key)
             logger.info("warmup: decode bucket B=%d compiled", B)
         # force completion so a warmup failure surfaces here, not at the
         # first real readback (block_until_ready can return at enqueue on a
         # tunneled transport)
         np.asarray(tokens[:1])
         # warmup wrote only the garbage page: reset the token buffer
-        self.last_tokens = jnp.zeros((cfg.max_num_seqs,), jnp.int32)
+        self.last_tokens = self._replicate(
+            np.zeros((cfg.max_num_seqs,), np.int32))
 
     # ------------------------------------------------------------------ quant
     def _quantize(self, params):
@@ -270,7 +311,13 @@ class ModelRunner:
         cfg = self.config
         hf = cfg.hf_config
         if cfg.num_kvcache_blocks <= 0:
-            dev = jax.devices()[0]
+            # memory stats need an *addressable* device (multi-host meshes
+            # include peers' devices; all chips in a slice are symmetric)
+            dev = self._dev0
+            if self.mesh is not None:
+                pidx = jax.process_index()
+                dev = next((d for d in self.mesh.devices.flat
+                            if d.process_index == pidx), self._dev0)
             stats = dev.memory_stats() or {}
             limit = stats.get("bytes_limit", 0)
             in_use = stats.get("bytes_in_use", 0)
@@ -393,26 +440,39 @@ class ModelRunner:
         self.step_counter = (self.step_counter + 1) % (2**31 - 1)
         return self.step_counter
 
-    def run_prefill(self, seqs: list[Sequence]) -> jax.Array:
-        """Dispatch one prefill call; returns the [B] device token array
-        (sampled first completion token per seq) without blocking."""
-        buf, fbuf, T = self.prepare(seqs, True)
-        fn = self._prefill_jit(self._needs_topkp(seqs), T)
+    def dispatch(self, is_prefill: bool, bucket: int, num_steps: int,
+                 use_topkp: bool, buf, fbuf) -> jax.Array:
+        """Run one device call from its packed plan. This is the single entry
+        every process uses — the controller after ``prepare``/``prepare_decode``
+        and, under multi-host lockstep, the workers from the broadcast plan
+        (the role of the reference's shm-RPC ``call``,
+        reference: model_runner.py:102-115)."""
+        if is_prefill:
+            fn = self._prefill_jit(use_topkp, bucket)
+        else:
+            fn = self._decode_jit(num_steps, use_topkp, bucket)
+        if self.plan is not None and not self.plan.replicated().is_fully_addressable:
+            # multi-host: jit inputs must be global arrays; each process holds
+            # the identical packed plan (controller-prepared or broadcast)
+            buf, fbuf = self._replicate(buf), self._replicate(fbuf)
         tokens, self.kv_pages, self.last_tokens = fn(
             self.params, self.kv_pages, self.last_tokens, buf, fbuf,
             self.rng_key)
         return tokens
+
+    def run_prefill(self, seqs: list[Sequence]) -> jax.Array:
+        """Dispatch one prefill call; returns the [B] device token array
+        (sampled first completion token per seq) without blocking."""
+        buf, fbuf, T = self.prepare(seqs, True)
+        return self.dispatch(True, T, 1, self._needs_topkp(seqs), buf, fbuf)
 
     def run_decode(self, seqs: list[Sequence], steps: list[int],
                    num_steps: int) -> jax.Array:
         """Dispatch one K-step decode call; returns the [K, B] device token
         matrix without blocking."""
         buf, fbuf, B = self.prepare_decode(seqs, steps)
-        fn = self._decode_jit(num_steps, self._needs_topkp(seqs), B)
-        tokens, self.kv_pages, self.last_tokens = fn(
-            self.params, self.kv_pages, self.last_tokens, buf, fbuf,
-            self.rng_key)
-        return tokens
+        return self.dispatch(False, B, num_steps, self._needs_topkp(seqs),
+                             buf, fbuf)
 
     def seed_last_tokens(self, seqs: list[Sequence]):
         """Sync-compat: push each seq's host-side last token into its device

@@ -43,28 +43,36 @@ def init_distributed(coordinator_address: str | None = None,
 
 
 def make_multihost_mesh(data: int | None = None, model: int | None = None):
-    """Hybrid DCN×ICI mesh: ``data`` replicas across hosts (DCN), ``model``
-    shards within a host/slice (ICI). Defaults: one data replica per process,
-    model = local device count.
+    """Global ``("data","model")`` mesh over every device in the cluster.
 
-    Uses ``mesh_utils.create_hybrid_device_mesh`` when spanning processes so
-    device order matches the physical topology; degenerates to the local mesh
-    in single-process runs (tests, one host).
+    When the ``model`` axis fits inside one host's slice and ``data`` splits
+    evenly across hosts, uses ``mesh_utils.create_hybrid_device_mesh`` so the
+    per-layer TP collectives ride ICI and only per-replica traffic crosses
+    DCN. Otherwise (model axis spanning hosts, or non-TPU device sets with no
+    slice topology) falls back to process-ordered global device order — each
+    host's local devices are contiguous along ``model``, so intra-host hops
+    still dominate.
     """
     n_proc = jax.process_count()
+    n_total = jax.device_count()
     n_local = jax.local_device_count()
-    if data is None:
-        data = n_proc
     if model is None:
-        model = (n_proc * n_local) // data
-    if n_proc == 1:
-        return make_mesh(data, model)
-    from jax.experimental import mesh_utils
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(data // n_proc if data % n_proc == 0 else 1, model),
-        dcn_mesh_shape=(n_proc if data % n_proc == 0 else data, 1),
-    )
-    return jax.sharding.Mesh(devices.reshape(data, model), ("data", "model"))
+        model = n_total // (data or n_proc)
+    if data is None:
+        data = n_total // model
+    assert data * model == n_total, \
+        f"data({data}) x model({model}) != device_count({n_total})"
+    if (n_proc > 1 and model <= n_local and n_local % model == 0
+            and data % n_proc == 0):
+        try:
+            from jax.experimental import mesh_utils
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(data // n_proc, model),
+                dcn_mesh_shape=(n_proc, 1))
+            return jax.sharding.Mesh(devices, ("data", "model"))
+        except Exception:
+            pass  # no slice topology attrs (CPU processes): process order
+    return make_mesh(data, model)
 
 
 # Fixed plan-buffer size: every process must present the same shape to the
@@ -88,3 +96,60 @@ def broadcast_step_plan(plan_bytes: bytes, is_source: bool) -> bytes:
     out = multihost_utils.broadcast_one_to_all(payload, is_source=is_source)
     n = int(out[:8].view(np.int64)[0])
     return out[8:8 + n].tobytes()
+
+
+# ------------------------------------------------------------ plan channel
+# Plan kinds carried in the header (the lockstep-controller wire protocol).
+PLAN_STEP = 1   # one device dispatch: ints + packed i32/f32 buffers
+PLAN_DONE = 2   # end of a generate(): payload = pickled outputs
+PLAN_SYNC = 3   # init-time handshake: ints = config fingerprint
+
+# Padded payload sizes so each broadcast shape compiles once. The largest
+# covers a max prefill buffer (3*16384 i32) plus the fixed sections.
+_PAYLOAD_BUCKETS = (1 << 12, 1 << 15, 1 << 18, 1 << 21, 1 << 24)
+
+
+class PlanChannel:
+    """Controller→worker broadcast channel for per-step batch plans.
+
+    The multi-host replacement for the reference's SharedMemory + Event RPC
+    (reference: nanovllm/engine/model_runner.py:67-115): process 0 runs the
+    scheduler and broadcasts each step's packed metadata before dispatch;
+    every process then enters the same jitted computation in lockstep.
+    Transport is ``multihost_utils.broadcast_one_to_all`` — a fixed [8] i32
+    header, then (when non-empty) a payload padded to a static bucket so
+    every broadcast shape compiles once.
+    """
+
+    def __init__(self, is_source: bool):
+        self.is_source = is_source
+
+    def _bcast(self, arr):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.broadcast_one_to_all(
+            arr, is_source=self.is_source))
+
+    def send(self, kind: int, ints: tuple = (), payload: bytes = b"") -> None:
+        assert self.is_source, "only the controller sends plans"
+        assert len(ints) <= 6
+        header = np.zeros(8, np.int32)
+        header[0] = kind
+        header[1] = len(payload)
+        header[2:2 + len(ints)] = ints
+        self._bcast(header)
+        if payload:
+            bucket = next(b for b in _PAYLOAD_BUCKETS if b >= len(payload))
+            buf = np.zeros(bucket, np.uint8)
+            buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+            self._bcast(buf)
+
+    def recv(self) -> tuple[int, tuple, bytes]:
+        assert not self.is_source, "the controller does not recv plans"
+        header = self._bcast(np.zeros(8, np.int32))
+        kind, plen = int(header[0]), int(header[1])
+        ints = tuple(int(x) for x in header[2:8])
+        payload = b""
+        if plen:
+            bucket = next(b for b in _PAYLOAD_BUCKETS if b >= plen)
+            payload = self._bcast(np.zeros(bucket, np.uint8))[:plen].tobytes()
+        return kind, ints, payload

@@ -24,6 +24,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works when the sharding spans devices this
+    process cannot address (multi-host): every process passes the same full
+    host array and contributes only its addressable shards
+    (``jax.make_array_from_callback``). Single-host meshes take the plain
+    ``device_put`` fast path."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def make_mesh(data: int = 1, model: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if model is None:
@@ -68,6 +80,9 @@ class ShardingPlan:
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
 
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
     def spec_for(self, path: str, leaf) -> P:
         if "layers" in path:
             for pat, rules in _LAYER_RULES:
@@ -87,7 +102,7 @@ class ShardingPlan:
         out = {}
         for path, leaf in paths_params:
             spec = self.spec_for(path, leaf)
-            out[path] = jax.device_put(leaf, NamedSharding(self.mesh, spec))
+            out[path] = put_global(leaf, NamedSharding(self.mesh, spec))
         return _unflatten(out)
 
     def kv_sharding(self) -> NamedSharding:
