@@ -3,23 +3,32 @@
 Brand-new JAX/XLA/Pallas implementation with the capability set of the
 reference songxxzp/nano-vllm-hw3 (continuous batching, paged KV with prefix
 caching, Qwen3, INT8/FP8 quantization, SPMD tensor parallelism).
+
+Importing the package is side-effect free (no eager jax import, no global
+config mutation): the persistent-jit-cache setup runs at first engine
+construction (ModelRunner), and ``LLM`` / ``SamplingParams`` resolve lazily.
 """
 
 import os as _os
 
+_jit_cache_enabled = False
 
-def _enable_persistent_jit_cache():
+
+def enable_persistent_jit_cache():
     """Compile each jit shape once per machine, not once per process.
 
     XLA compiles are expensive (tens of seconds per bucket through a remote
     compile service); the persistent cache serves them from disk across
     processes — the TPU analogue of the reference keeping CUDA graphs warm
     within a process (reference: model_runner.py:316-356), but durable.
-    Opt out with NANOVLLM_TPU_NO_JIT_CACHE=1; override the location with
+    Called automatically at first engine construction. Opt out with
+    NANOVLLM_TPU_NO_JIT_CACHE=1; override the location with
     JAX_COMPILATION_CACHE_DIR (respected by jax itself).
     """
-    if _os.environ.get("NANOVLLM_TPU_NO_JIT_CACHE") == "1":
+    global _jit_cache_enabled
+    if _jit_cache_enabled or _os.environ.get("NANOVLLM_TPU_NO_JIT_CACHE") == "1":
         return
+    _jit_cache_enabled = True
     import jax
 
     try:
@@ -32,10 +41,15 @@ def _enable_persistent_jit_cache():
         pass
 
 
-_enable_persistent_jit_cache()
+def __getattr__(name):
+    if name == "LLM":
+        from nanovllm_tpu.llm import LLM
+        return LLM
+    if name == "SamplingParams":
+        from nanovllm_tpu.sampling_params import SamplingParams
+        return SamplingParams
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
-from nanovllm_tpu.llm import LLM
-from nanovllm_tpu.sampling_params import SamplingParams
 
-__all__ = ["LLM", "SamplingParams"]
+__all__ = ["LLM", "SamplingParams", "enable_persistent_jit_cache"]
 __version__ = "0.1.0"

@@ -48,16 +48,23 @@ class LLMEngine:
         self.channel = None
         self.is_controller = True
         import jax
+        if config.data_parallel_size > 1:
+            # DP is request-level parallelism over engine *replicas*
+            # (engine/dp_engine.py) — construct via LLM(...), which routes
+            # there; a single lock-stepped engine cannot shard its batch.
+            raise ValueError(
+                "data_parallel_size > 1 is handled by DataParallelEngine; "
+                "construct via nanovllm_tpu.LLM (single-process) — multi-host "
+                "DP replicas are not yet wired")
         if jax.process_count() > 1:
             from nanovllm_tpu.parallel import distributed as dist
             self.is_controller = jax.process_index() == 0
             self.channel = dist.PlanChannel(self.is_controller)
             if mesh is None:
-                mesh = dist.make_multihost_mesh(
-                    config.data_parallel_size, config.tensor_parallel_size)
-        elif mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
+                mesh = dist.make_multihost_mesh(1, config.tensor_parallel_size)
+        elif mesh is None and config.tensor_parallel_size > 1:
             from nanovllm_tpu.parallel.sharding import make_mesh
-            mesh = make_mesh(config.data_parallel_size, config.tensor_parallel_size)
+            mesh = make_mesh(1, config.tensor_parallel_size)
         self.model_runner = ModelRunner(config, mesh=mesh)
         self.model_runner.warmup_jit()
         if self.channel is not None:

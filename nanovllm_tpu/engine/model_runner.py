@@ -74,6 +74,8 @@ def _next_bucket(buckets, n):
 
 class ModelRunner:
     def __init__(self, config: Config, mesh=None, params=None):
+        import nanovllm_tpu
+        nanovllm_tpu.enable_persistent_jit_cache()
         self.config = config
         hf = config.hf_config
         self.page_size = config.kvcache_block_size
@@ -229,7 +231,10 @@ class ModelRunner:
         aborts the ragged kernel on device). With the persistent jit cache
         this is a disk read after the first run on a machine."""
         cfg = self.config
-        if self.platform != "tpu" or not cfg.warmup_jit:
+        if self.platform != "tpu" or not cfg.warmup_jit or cfg.enforce_eager:
+            # enforce_eager = one compile per exact shape (the reference's
+            # CUDA-graph opt-out, reference: config.py:14): shapes are not
+            # known up front, so there is nothing to warm
             return
         layout = self.pack_layout
         garbage = cfg.num_kvcache_blocks  # logical id of the sink page
@@ -361,12 +366,14 @@ class ModelRunner:
         if is_prefill:
             q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], np.int64)
             # full-page store copies over-read the stream by up to a page
-            T = _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps)
+            T = (int(q_lens.sum()) + ps if cfg.enforce_eager
+                 else _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps))
         else:
             # compat path (sync single-token decode, used by run())
             q_lens = np.ones(len(seqs), np.int64)
-            T = _next_bucket(cfg.decode_bs_buckets, len(seqs))
-        if is_prefill and T > cfg.prefill_token_buckets[-1]:
+            T = (len(seqs) if cfg.enforce_eager
+                 else _next_bucket(cfg.decode_bs_buckets, len(seqs)))
+        if is_prefill and not cfg.enforce_eager and T > cfg.prefill_token_buckets[-1]:
             # a batch packed past the largest warmed bucket means a runtime
             # compile of a double-size executable (and 2x compute waste) —
             # the scheduler's token cap should make this unreachable
@@ -415,7 +422,8 @@ class ModelRunner:
 
     def prepare_decode(self, seqs: list[Sequence], steps: list[int]):
         cfg = self.config
-        B = _next_bucket(cfg.decode_bs_buckets, len(seqs))
+        B = (len(seqs) if cfg.enforce_eager
+             else _next_bucket(cfg.decode_bs_buckets, len(seqs)))
         buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, self.pack_layout)
         slot_ids, kv_lens = v["slot_ids"], v["kv_lens"]
         steps_left, page_indices = v["steps_left"], v["page_indices"]

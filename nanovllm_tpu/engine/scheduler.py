@@ -38,6 +38,10 @@ class Scheduler:
         self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # count of non-finished seqs in ``running``: finished seqs are
+        # removed lazily (postprocess marks, schedule drops on pop), so
+        # membership alone can't answer is_finished in O(1)
+        self.num_live = 0
         self.free_slots: deque[int] = deque(range(config.max_num_seqs))
         self.num_preemptions = 0
         # Strict admission: admit a prefill only when its worst-case final KV
@@ -81,7 +85,7 @@ class Scheduler:
             seq.committed_blocks = 0
 
     def is_finished(self) -> bool:
-        return not self.waiting and not self.running
+        return not self.waiting and self.num_live == 0
 
     def add(self, seq: Sequence):
         self.waiting.append(seq)
@@ -129,6 +133,7 @@ class Scheduler:
             seq.slot = self.free_slots.popleft()
             self.waiting.popleft()
             self.running.append(seq)
+            self.num_live += 1
             scheduled.append(seq)
         if scheduled:
             return scheduled, True, [1] * len(scheduled)
@@ -138,6 +143,11 @@ class Scheduler:
         postponed: list[Sequence] = []
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
+            if seq.is_finished:
+                # lazy removal: postprocess marks sequences finished without
+                # the O(running) deque.remove; they drop out here (their
+                # blocks/slot were already released at materialization)
+                continue
             k = min(self.decode_steps, self._max_len(seq) - seq.num_sched_tokens)
             if k <= 0:
                 # fully scheduled; waiting for materialization to finish it
@@ -150,7 +160,9 @@ class Scheduler:
                     self.running.extend(postponed)
                     raise NeedDrain
                 if self.running:
-                    self.preempt(self.running.pop())  # youngest first
+                    victim = self.running.pop()  # youngest first
+                    if not victim.is_finished:   # lazy-removal leftovers
+                        self.preempt(victim)
                 else:
                     self.preempt(seq)
                     seq = None
@@ -177,6 +189,7 @@ class Scheduler:
     def preempt(self, seq: Sequence):
         assert seq.inflight == 0, "preempting a sequence with in-flight calls"
         self.num_preemptions += 1
+        self.num_live -= 1  # leaves running (re-enters via admission)
         seq.status = SequenceStatus.WAITING
         seq.num_sched_tokens = seq.num_tokens
         if seq.slot is not None:
@@ -207,12 +220,11 @@ class Scheduler:
                     self.block_manager.finalize_block(seq)
                 if ((not seq.ignore_eos and token_id == self.eos)
                         or seq.num_completion_tokens == seq.max_tokens):
+                    # removal from self.running is lazy (O(1) here; schedule()
+                    # drops finished sequences when it pops them)
                     seq.status = SequenceStatus.FINISHED
+                    self.num_live -= 1
                     finished.append(seq)
-                    try:
-                        self.running.remove(seq)
-                    except ValueError:
-                        pass
             if seq.is_finished and seq.inflight == 0:
                 self._uncommit(seq)
                 if seq.slot is not None:

@@ -92,7 +92,28 @@ def linear_apply(p: dict, x, *, quant_cfg=None):
     return out
 
 
-_TOPK_CANDIDATES = 64  # candidate pool for the top-k/top-p path
+_TOPK_CANDIDATES = 64  # fast-path candidate pool for the top-k/top-p path
+
+
+def _pool_sample(scaled, Z, top_ks, top_ps, key, C):
+    """Gumbel-max over the top-C candidates after top-k / nucleus masking.
+
+    ``scaled`` is logits/T [B, V]; ``Z`` its logsumexp [B, 1] so nucleus
+    probabilities are exact under the *full-vocab* softmax (a pool-local
+    softmax would inflate them and shrink the kept set).
+    """
+    vals, idx = jax.lax.top_k(scaled, C)  # [B, C] desc
+    rank = jnp.arange(C, dtype=jnp.int32)[None, :]
+    k = jnp.where(top_ks > 0, jnp.minimum(top_ks, C), C)[:, None]
+    probs = jnp.exp(vals - Z)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs  # mass strictly before
+    # rank 0 always kept (a top_p of 0 still samples the argmax)
+    keep = ((rank < k) & (cum_excl < top_ps[:, None])) | (rank == 0)
+    masked = jnp.where(keep, vals, -jnp.inf)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+        key, masked.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
+    choice = jnp.argmax(masked + gumbel, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
 
 
 def sample(logits, temperatures, key, top_ks=None, top_ps=None):
@@ -106,7 +127,9 @@ def sample(logits, temperatures, key, top_ks=None, top_ps=None):
     them — the caller passes None otherwise).
 
     top_ks i32[B] (0 = disabled), top_ps f32[B] (1.0 = disabled). Masks apply
-    over a top-64 candidate pool; a top_k above 64 is clamped.
+    over a top-64 candidate pool on the fast path; when any row's nucleus
+    spills past the pool (flat distribution) or requests top_k > 64, a
+    ``lax.cond`` falls back to the exact full-vocab pool for that call.
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
@@ -116,16 +139,18 @@ def sample(logits, temperatures, key, top_ks=None, top_ps=None):
             key, logits.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
         noisy = jnp.argmax(logits / t + gumbel, axis=-1)
     else:
-        C = min(_TOPK_CANDIDATES, logits.shape[-1])
-        vals, idx = jax.lax.top_k(logits, C)  # [B, C] desc
-        rank = jnp.arange(C, dtype=jnp.int32)[None, :]
-        k = jnp.where(top_ks > 0, jnp.minimum(top_ks, C), C)[:, None]
-        probs = jax.nn.softmax(vals / t, axis=-1)
-        cum_excl = jnp.cumsum(probs, axis=-1) - probs  # mass strictly before
-        keep = (rank < k) & (cum_excl < top_ps[:, None])
-        masked = jnp.where(keep, vals, -jnp.inf)
-        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
-            key, masked.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)))
-        choice = jnp.argmax(masked / t + gumbel, axis=-1)
-        noisy = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+        V = logits.shape[-1]
+        C = min(_TOPK_CANDIDATES, V)
+        scaled = logits / t
+        Z = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        noisy = _pool_sample(scaled, Z, top_ks, top_ps, key, C)
+        if C < V:
+            pool_vals, _ = jax.lax.top_k(scaled, C)
+            pool_mass = jnp.exp(pool_vals - Z).sum(-1)
+            need_full = (((top_ps < 1.0) & (pool_mass < top_ps))
+                         | (top_ks > C)) & (temperatures > 0.0)
+            noisy = jax.lax.cond(
+                jnp.any(need_full),
+                lambda: _pool_sample(scaled, Z, top_ks, top_ps, key, V),
+                lambda: noisy)
     return jnp.where(temperatures <= 0.0, greedy, noisy).astype(jnp.int32)

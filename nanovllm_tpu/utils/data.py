@@ -29,20 +29,27 @@ def _hub_reachable(timeout: float = 2.0) -> bool:
 
 def _load_dataset(*args, **kwargs):
     """load_dataset that is fast in hub-less environments: when the hub is
-    unreachable, retry from the LOCAL cache (offline mode) before giving up —
-    an air-gapped box with a populated cache still gets real data."""
-    from datasets import load_dataset
+    unreachable, load from the LOCAL cache (offline mode) before giving up —
+    an air-gapped box with a populated cache still gets real data.
+
+    ``datasets`` resolves HF_DATASETS_OFFLINE at *import* time
+    (datasets.config is populated on import), so the env var is set before
+    the first import, and an explicit offline ``DownloadConfig`` covers
+    processes where ``datasets`` was already imported online."""
     if _hub_reachable():
+        from datasets import load_dataset
         return load_dataset(*args, **kwargs)
-    saved = os.environ.get("HF_DATASETS_OFFLINE")
-    os.environ["HF_DATASETS_OFFLINE"] = "1"
-    try:
-        return load_dataset(*args, **kwargs)
-    finally:
-        if saved is None:
-            os.environ.pop("HF_DATASETS_OFFLINE", None)
-        else:
-            os.environ["HF_DATASETS_OFFLINE"] = saved
+    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")  # before first import
+    import datasets
+    from datasets import load_dataset
+    try:  # belt and braces when datasets was imported before this call
+        datasets.config.HF_DATASETS_OFFLINE = True
+        kwargs.setdefault(
+            "download_config",
+            datasets.DownloadConfig(local_files_only=True))
+    except Exception:  # noqa: BLE001 - version-dependent knobs
+        pass
+    return load_dataset(*args, **kwargs)
 
 
 def load_wikitext(num_texts: int = 100):

@@ -153,6 +153,88 @@ def test_sampler_unit_top_k_p():
     assert counts[3] == 0 and all(counts[:3] > 0)
 
 
+def test_enforce_eager_exact_shapes(tiny_checkpoint, engine, rng):
+    """enforce_eager disables shape bucketing (the reference's CUDA-graph
+    opt-out, reference: config.py:14): batch prep returns exact shapes and
+    greedy output matches the bucketed engine."""
+    eager = LLM(tiny_checkpoint, max_model_len=128, max_num_batched_tokens=256,
+                max_num_seqs=8, kvcache_block_size=8, num_kvcache_blocks=96,
+                attention_impl="xla", enforce_eager=True)
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 13)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    ref = engine.generate(prompts, sp, use_tqdm=False)
+    out = eager.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in out] == [o["token_ids"] for o in ref]
+    # exact shapes: prefill buffer sized to the stream + one page, decode to B
+    from nanovllm_tpu.engine.sequence import Sequence
+    seqs = [Sequence(list(range(100, 105)), sp, block_size=8)]
+    seqs[0].slot = 0
+    _, _, T = eager.model_runner.prepare(seqs, True)
+    assert T == 5 + 8  # q_lens + page (no bucket round-up)
+    seqs[0].num_sched_tokens = 5
+    _, _, B = eager.model_runner.prepare_decode(seqs, [1])
+    assert B == 1
+
+
+def test_data_parallel_replicas(tiny_checkpoint, engine, rng):
+    """data_parallel_size=2 builds two engine replicas on disjoint submeshes;
+    outputs match the single-engine result prompt-for-prompt."""
+    dp = LLM(tiny_checkpoint, data_parallel_size=2, max_model_len=128,
+             max_num_batched_tokens=256, max_num_seqs=8, kvcache_block_size=8,
+             num_kvcache_blocks=96, attention_impl="xla")
+    from nanovllm_tpu.engine.dp_engine import DataParallelEngine
+    assert isinstance(dp, DataParallelEngine) and len(dp.engines) == 2
+    meshes = [e.model_runner.mesh for e in dp.engines]
+    assert set(meshes[0].devices.flat).isdisjoint(set(meshes[1].devices.flat))
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 13, 21, 7)]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    ref = engine.generate(prompts, sp, use_tqdm=False)
+    out = dp.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in out] == [o["token_ids"] for o in ref]
+    assert dp.metrics["requests_finished"] == 4
+
+
+def test_sampler_full_vocab_fallback():
+    """A nucleus wider than the 64-candidate pool falls back to the exact
+    full-vocab path: a flat 256-token distribution with top_p=0.95 must
+    sample tokens beyond rank 64."""
+    import jax
+    import jax.numpy as jnp
+    from nanovllm_tpu.ops.layers import sample
+    V = 256
+    logits = jnp.zeros((1, V), jnp.float32)  # uniform: nucleus ~ 243 tokens
+    temps = jnp.ones(1, jnp.float32)
+    seen = set()
+    for i in range(64):
+        toks = sample(logits, temps, jax.random.key(i),
+                      jnp.zeros(1, jnp.int32), jnp.full(1, 0.95, jnp.float32))
+        seen.add(int(np.asarray(toks)[0]))
+    # with a 64-token pool every draw would land in the pool's arbitrary
+    # 64-token subset; the exact path spreads across the vocab
+    assert len(seen) > 40 and max(seen) >= 64
+
+
+def test_sampler_top_k_above_pool():
+    """top_k > 64 engages the full-vocab pool: ranks 64..99 must be
+    reachable and ranks >= 100 excluded."""
+    import jax
+    import jax.numpy as jnp
+    from nanovllm_tpu.ops.layers import sample
+    V = 256
+    base = -np.arange(V, dtype=np.float32) * 0.01  # distinct, slowly decaying
+    logits = jnp.asarray(base[None, :])
+    temps = jnp.full(1, 5.0, jnp.float32)  # flat enough to hit high ranks
+    hits_mid, hits_high = 0, 0
+    for i in range(300):
+        toks = sample(logits, temps, jax.random.key(i),
+                      jnp.full(1, 100, jnp.int32), jnp.ones(1, jnp.float32))
+        t = int(np.asarray(toks)[0])
+        assert t < 100, f"top_k=100 violated: sampled rank {t}"
+        if 64 <= t < 100:
+            hits_mid += 1
+    assert hits_mid > 0, "full-vocab fallback never reached ranks 64..99"
+
+
 def test_int8_kv_cache_engine_smoke(tiny_checkpoint, rng):
     """kv_cache_dtype="int8": the engine runs end-to-end on int8 pages and
     greedy output stays plausible (non-empty, correct length). Exact-match

@@ -158,6 +158,32 @@ def test_lagged_finish_defers_dealloc_and_slot():
     assert len(sch.free_slots) == sch.max_num_seqs
 
 
+def test_lazy_finished_removal():
+    """postprocess marks sequences finished without scanning the running
+    deque (O(1)); schedule() drops them when popped and never dispatches a
+    finished sequence; is_finished converges after the lazy drain."""
+    sch = make_scheduler(decode_steps=1)
+    a, b = seq(4, max_tokens=1, ignore_eos=True), seq(4, max_tokens=8, ignore_eos=True)
+    sch.add(a), sch.add(b)
+    seqs, is_p, steps = sch.schedule()
+    assert is_p and seqs == [a, b]
+    run_call(sch, seqs, True, steps)      # a reaches max_tokens=1 → finished
+    assert a.is_finished
+    assert a in sch.running               # lazy: still parked in the deque
+    seqs2, is_p2, steps2 = sch.schedule()
+    assert seqs2 == [b] and not is_p2     # a dropped on pop, b scheduled
+    assert a not in sch.running
+    run_call(sch, seqs2, False, steps2, token_fn=lambda t, i: 0)  # b hits EOS... no: eos=-1
+    # finish b by max_tokens
+    while not b.is_finished:
+        seqs3, _, steps3 = sch.schedule()
+        run_call(sch, seqs3, False, steps3)
+    # one lazy-drain schedule may be needed before is_finished flips
+    sch.schedule()
+    assert sch.is_finished()
+    assert len(sch.free_slots) == sch.max_num_seqs
+
+
 def test_schedule_empty_when_fully_scheduled():
     """A fully-scheduled-but-unmaterialized seq yields an empty schedule (the
     engine then drains)."""
