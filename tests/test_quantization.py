@@ -128,6 +128,31 @@ def test_quantized_engine_generates(tiny_checkpoint, quant_type, rng):
     assert all(0 <= t < 512 for t in out1)
 
 
+@pytest.mark.parametrize("T,K,N,bt,bn,bk", [
+    (256, 256, 512, 128, 256, 128),   # divisible everywhere
+    (100, 200, 150, 64, 128, 128),    # padding on every axis
+    (1024, 192, 136, 512, 1024, 1024),  # serving-path blocks, ragged N/K
+])
+def test_pallas_w8a8_matmul_interpret(T, K, N, bt, bn, bk):
+    """The fused Pallas W8A8 kernel (interpret mode on CPU) matches the XLA
+    int8-dot + scale-epilogue formulation, including non-divisible T/N/K
+    (zero-padding correctness)."""
+    from nanovllm_tpu.ops.pallas.quant_matmul import w8a8_matmul_pallas
+    rng = np.random.default_rng(6)
+    x = _rand(rng, T, K)
+    w = _rand(rng, K, N)
+    w_q, sw = q.per_row_quant(w, jnp.int8)
+    x_q, sx = q.quant_act_per_row(x, jnp.int8)
+    acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32).astype(jnp.float32)
+    want = acc * (sx[:, None] * sw[None, :])
+    got = w8a8_matmul_pallas(x_q, sx, w_q, sw, block_t=bt, block_n=bn,
+                             block_k=bk, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    assert _rel_err(got, x @ w) < 0.08
+
+
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
 @pytest.mark.parametrize("T,N,K,g", [(48, 384, 256, 64), (128, 512, 512, 128)])
 def test_pallas_group_dequant_matmul_interpret(T, N, K, g, dtype):
