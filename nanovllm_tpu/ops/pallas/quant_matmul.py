@@ -109,6 +109,83 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---------------------------------------------------- W8A8, fused act quant
+def _w8a8_fused_kernel(x_ref, w_ref, sw_ref, o_ref, acc_ref, *, n_k: int):
+    """W8A8 K-step with the dynamic activation quant fused into the prologue:
+    the bf16 x tile is absmax-scaled and cast to int8 *in VMEM*, so the
+    activation never round-trips HBM as int8 (the separate XLA quant pass
+    costs read-2B + write-1B + read-1B per element; here it is one 2B read).
+
+    The activation scale is per row *per K block* — finer than the per-row
+    scale of the unfused path — so each K-step's int32 tile is folded into
+    the fp32 accumulator with its own scale; the weight's per-column scale
+    stays in the epilogue."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8)
+    sx = absmax * (1.0 / 127.0)                      # [BT, 1]
+    x_q = jnp.clip(jnp.round(x * (127.0 / absmax)), -127, 127).astype(jnp.int8)
+    tile = jnp.dot(x_q, w_ref[:], preferred_element_type=jnp.int32)
+    acc_ref[:] += tile.astype(jnp.float32) * sx
+
+    @pl.when(k == n_k - 1)
+    def _():
+        sw = sw_ref[:].astype(jnp.float32)           # [1, BN]
+        o_ref[:] = (acc_ref[:] * sw).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def w8a8_matmul_act_fused(x, w_q, sw, *, block_t: int = 256,
+                          block_n: int = 8192, block_k: int = 512,
+                          out_dtype=None, interpret: bool = False):
+    """Fused dynamic-act-quant W8A8 GEMM: x [T, K] bf16/f32, w_q [K, N] int8,
+    sw [N] f32 → [T, N]. Activation quant (per row per K block) happens in
+    the kernel prologue (reference's fused Triton W8A8 north star,
+    reference: nanovllm/utils/quantization.py:54-144).
+
+    block_n defaults high so it clamps to N for serving shapes (N <= 8192):
+    with one N block the x tile is read from HBM exactly once."""
+    out_dtype = out_dtype or x.dtype
+    T, K = x.shape
+    _, N = w_q.shape
+    BT = min(block_t, _round_up(T, 8))
+    BN = min(block_n, N)
+    BK = min(block_k, K)
+    Tp, Np, Kp = _round_up(T, BT), _round_up(N, BN), _round_up(K, BK)
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    if Kp != K:
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+        w_q = jnp.pad(w_q, ((0, Kp - K), (0, 0)))
+    if Np != N:
+        w_q = jnp.pad(w_q, ((0, 0), (0, Np - N)))
+        sw = jnp.pad(sw, (0, Np - N))
+    n_k = Kp // BK
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_fused_kernel, n_k=n_k),
+        grid=(Tp // BT, Np // BN, n_k),
+        in_specs=[
+            pl.BlockSpec((BT, BK), lambda t, n, k: (t, k)),
+            pl.BlockSpec((BK, BN), lambda t, n, k: (k, n)),
+            pl.BlockSpec((1, BN), lambda t, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
+        out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w_q, sw[None, :])
+    return out[:T, :N]
+
+
 # ------------------------------------------------------------------- W8A8
 def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref, *, n_k: int):
     """int8 x int8 -> int32 MXU tiles accumulated in VMEM; the per-row x

@@ -166,6 +166,15 @@ def quant_linear_apply(p: dict, x, quant_cfg):
     quant_type, group_size, act_quant, linear_dtype = quant_cfg
     w_q, scale = p["w_q"], p["scale"]
     if quant_type == "per_row" and act_quant:
+        if (w_q.dtype == jnp.int8 and scale.ndim == 1 and _on_tpu()
+                and x.shape[0] >= 1024):
+            # prefill-shaped: fully fused W8A8 — the dynamic activation
+            # quant runs in the kernel prologue (per row per K block), so
+            # the activation reads HBM once as bf16 instead of the separate
+            # quant pass's read+write+read (reference's fused Triton W8A8,
+            # quantization.py:54-144)
+            from nanovllm_tpu.ops.pallas.quant_matmul import w8a8_matmul_act_fused
+            return w8a8_matmul_act_fused(x, w_q, scale, out_dtype=x.dtype)
         # true W8A8, matching the reference's fused per-row path
         x_q, sx = quant_act_per_row(x, w_q.dtype)
         return w8a8_matmul(x_q, sx, w_q, scale, out_dtype=x.dtype)

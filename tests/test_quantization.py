@@ -153,6 +153,39 @@ def test_pallas_w8a8_matmul_interpret(T, K, N, bt, bn, bk):
     assert _rel_err(got, x @ w) < 0.08
 
 
+@pytest.mark.parametrize("T,K,N,bt,bn,bk", [
+    (256, 512, 384, 128, 8192, 128),   # bn clamps to N, multiple K blocks
+    (100, 200, 150, 64, 128, 128),     # padding on every axis
+])
+def test_pallas_w8a8_act_fused_interpret(T, K, N, bt, bn, bk):
+    """The act-quant-fused W8A8 kernel (interpret mode) matches an XLA
+    formulation of the same per-row-per-K-block quantization exactly, and
+    the float reference within the reference suite's 0.08 gate."""
+    from nanovllm_tpu.ops.pallas.quant_matmul import w8a8_matmul_act_fused
+    rng = np.random.default_rng(7)
+    x = _rand(rng, T, K)
+    w = _rand(rng, K, N)
+    w_q, sw = q.per_row_quant(w, jnp.int8)
+    got = w8a8_matmul_act_fused(x, w_q, sw, block_t=bt, block_n=bn,
+                                block_k=bk, out_dtype=jnp.float32,
+                                interpret=True)
+    # XLA oracle with the kernel's exact quantization grouping
+    Kp = (K + bk - 1) // bk * bk
+    xp = np.zeros((T, Kp), np.float32)
+    xp[:, :K] = np.asarray(x)
+    wqp = np.zeros((Kp, N), np.int8)
+    wqp[:K] = np.asarray(w_q)
+    want = np.zeros((T, N), np.float32)
+    for k0 in range(0, Kp, bk):
+        blk = xp[:, k0:k0 + bk]
+        absmax = np.maximum(np.abs(blk).max(1, keepdims=True), 1e-8)
+        x_q = np.clip(np.round(blk * (127.0 / absmax)), -127, 127)
+        want += (x_q @ wqp[k0:k0 + bk].astype(np.float32)) * (absmax / 127.0)
+    want *= np.asarray(sw)[None, :]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-3)
+    assert _rel_err(got, x @ w) < 0.08
+
+
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
 @pytest.mark.parametrize("T,N,K,g", [(48, 384, 256, 64), (128, 512, 512, 128)])
 def test_pallas_group_dequant_matmul_interpret(T, N, K, g, dtype):
