@@ -38,19 +38,49 @@ def main():
     llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype,
               kv_reserve_fraction=reserve)
 
+    # BENCH_EOS_MEAN=<n>: EOS-terminated workload variant — each sequence
+    # stops unplannably after ~Geometric(1/n) tokens (stop_after stands in
+    # for EOS: the scheduler cannot see it coming), measuring speculative
+    # decode waste and the adaptive-K policy. 0 = reference parity workload.
+    eos_mean = int(os.environ.get("BENCH_EOS_MEAN", 0))
+
     prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
                         for _ in range(num_seqs)]
-    sampling_params = [SamplingParams(temperature=0.6, ignore_eos=True,
-                                      max_tokens=randint(100, max_output_len))
-                       for _ in range(num_seqs)]
+    if eos_mean:
+        from random import random
+        from math import ceil, log
+        sampling_params = [SamplingParams(
+            temperature=0.6, ignore_eos=True, max_tokens=max_output_len,
+            stop_after=min(max(ceil(log(random()) / log(1 - 1 / eos_mean)), 1),
+                           max_output_len))
+            for _ in range(num_seqs)]
+    else:
+        sampling_params = [SamplingParams(temperature=0.6, ignore_eos=True,
+                                          max_tokens=randint(100, max_output_len))
+                           for _ in range(num_seqs)]
 
     # warmup: compiles the prefill/decode buckets
     llm.generate([[randint(0, 10000) for _ in range(128)]],
                  SamplingParams(max_tokens=128, ignore_eos=True), use_tqdm=False)
 
     t = time.time()
-    llm.generate(prompt_token_ids, sampling_params, use_tqdm=False)
+    outs = llm.generate(prompt_token_ids, sampling_params, use_tqdm=False)
     t = time.time() - t
+    if eos_mean:
+        # EOS workload: throughput counts tokens actually *delivered*;
+        # waste shows up as a lower number, not a hidden discount
+        total_tokens = sum(len(o["token_ids"]) for o in outs)
+        m = llm.metrics
+        print(json.dumps({
+            "metric": "offline_throughput_eos",
+            "value": round(total_tokens / t, 2),
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "decode_tokens_wasted": m["decode_tokens_wasted"],
+            "decode_tokens_used": m["decode_tokens_used"],
+            "unplanned_finishes": m["unplanned_finishes"],
+        }))
+        return
     total_tokens = sum(sp.max_tokens for sp in sampling_params)
     throughput = total_tokens / t
     print(json.dumps({

@@ -130,6 +130,13 @@ class Config:
     # In-flight device calls the engine dispatches ahead of token
     # materialization (EOS detection lags by at most lag*K steps).
     async_lag: int = 3
+    # Shrink K per decode call when the observed unplannable-finish hazard
+    # (EOS / stop_after per materialized token) makes deep scans wasteful:
+    # picks the largest K in {K, K/2, K/4} with expected waste fraction
+    # h*(async_lag+0.5)*K <= decode_waste_target. ignore_eos workloads never
+    # observe a hazard, so the bench path always runs at full K.
+    adaptive_decode_steps: bool = True
+    decode_waste_target: float = 0.1
     dtype: str = "bfloat16"
     mesh_shape: tuple | None = None          # (data, model); default (dp, tp)
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)

@@ -150,11 +150,32 @@ class LLMEngine:
         self._worker_outputs = pickle.loads(payload)
         return False
 
+    def _pick_decode_steps(self) -> int:
+        """Adaptive K: the largest of {K, K/2, K/4} whose expected
+        speculative-waste fraction h*(lag+0.5)*K stays under the target,
+        where h is the observed unplannable-finish hazard per token. An
+        ignore_eos workload has h = 0 and always runs full K."""
+        cfg = self.config
+        k_max = cfg.decode_steps_per_call
+        if not cfg.adaptive_decode_steps:
+            return k_max
+        sch = self.scheduler
+        h = sch.unplanned_finishes / max(sch.tokens_appended, 1)
+        if h <= 0.0:
+            return k_max
+        per_step = h * (cfg.async_lag + 0.5)
+        for k in (k_max, max(k_max // 2, 1), max(k_max // 4, 1)):
+            if per_step * k <= cfg.decode_waste_target:
+                return k
+        return max(k_max // 4, 1)
+
     def step(self):
         """One scheduling + dispatch step (reference: llm_engine.py:48-54).
         Returns (finished outputs, num_tokens) where num_tokens > 0 counts
         prefill tokens and < 0 counts scheduled decode tokens."""
         num_tokens = 0
+        k_call = self._pick_decode_steps()
+        self.scheduler.decode_steps = k_call
         while True:
             try:
                 seqs, is_prefill, steps = self.scheduler.schedule(
@@ -174,8 +195,7 @@ class LLMEngine:
                 self.metrics["prefill_tokens"] += num_tokens
                 self.metrics["prefill_calls"] += 1
             else:
-                tokens = self._dispatch(seqs, False, steps,
-                                        self.config.decode_steps_per_call)
+                tokens = self._dispatch(seqs, False, steps, k_call)
                 num_tokens = -sum(steps)
                 for s, k in zip(seqs, steps):
                     s.num_sched_tokens += k
@@ -193,6 +213,9 @@ class LLMEngine:
         elif self.pending:
             self._materialize_one()
         self.metrics["preemptions"] = self.scheduler.num_preemptions
+        self.metrics["decode_tokens_used"] = self.scheduler.tokens_appended
+        self.metrics["decode_tokens_wasted"] = self.scheduler.decode_tokens_wasted
+        self.metrics["unplanned_finishes"] = self.scheduler.unplanned_finishes
         out, self._finished = self._finished, []
         return out, num_tokens
 

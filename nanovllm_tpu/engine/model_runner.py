@@ -259,18 +259,24 @@ class ModelRunner:
                     self.params, self.kv_pages, self.last_tokens, buf, fbuf,
                     self.rng_key)
             logger.info("warmup: prefill bucket T=%d compiled", T)
+        # adaptive decode-K dispatches K/2 and K/4 scans under unplannable-
+        # finish pressure: warm those executables too
+        k_max = cfg.decode_steps_per_call
+        k_variants = sorted({k_max, max(k_max // 2, 1), max(k_max // 4, 1)}
+                            if cfg.adaptive_decode_steps else {k_max})
         for B in cfg.decode_bs_buckets:
             buf, fbuf, v, fv = meta_pack.new_decode_bufs(B, layout)
             v["num_seqs"][0] = 1
             v["slot_ids"][0] = 0
             v["steps_left"][0] = 1
             v["page_indices"][0, 0] = garbage
-            for use_topkp in topkp_variants:
-                v["step_ctr"][0] = self._next_ctr()
-                fn = self._decode_jit(cfg.decode_steps_per_call, use_topkp, B)
-                tokens, self.kv_pages, self.last_tokens = fn(
-                    self.params, self.kv_pages, self.last_tokens, buf, fbuf,
-                    self.rng_key)
+            for num_steps in k_variants:
+                for use_topkp in topkp_variants:
+                    v["step_ctr"][0] = self._next_ctr()
+                    fn = self._decode_jit(num_steps, use_topkp, B)
+                    tokens, self.kv_pages, self.last_tokens = fn(
+                        self.params, self.kv_pages, self.last_tokens, buf, fbuf,
+                        self.rng_key)
             logger.info("warmup: decode bucket B=%d compiled", B)
         # force completion so a warmup failure surfaces here, not at the
         # first real readback (block_until_ready can return at enqueue on a

@@ -64,6 +64,13 @@ class Scheduler:
         self.total_blocks = config.num_kvcache_blocks
         self.committed_blocks = 0
         self.num_committed_seqs = 0
+        # speculative-waste accounting (adaptive decode-K policy input):
+        # tokens_appended = materialized completion tokens; wasted = scheduled
+        # beyond an unplannable finish (EOS / stop_after) and discarded;
+        # unplanned_finishes = finishes the planner could not foresee
+        self.tokens_appended = 0
+        self.decode_tokens_wasted = 0
+        self.unplanned_finishes = 0
 
     def _projected_blocks(self, seq: Sequence) -> int:
         """Page footprint of a sequence at its admission horizon
@@ -141,6 +148,7 @@ class Scheduler:
         # decode (reference: scheduler.py:44-58), K steps per call
         steps: list[int] = []
         postponed: list[Sequence] = []
+        did_preempt = False
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
             if seq.is_finished:
@@ -163,8 +171,10 @@ class Scheduler:
                     victim = self.running.pop()  # youngest first
                     if not victim.is_finished:   # lazy-removal leftovers
                         self.preempt(victim)
+                        did_preempt = True
                 else:
                     self.preempt(seq)
+                    did_preempt = True
                     seq = None
                     break
             if seq is not None:
@@ -175,12 +185,17 @@ class Scheduler:
         self.running.extendleft(reversed(scheduled))
         self.running.extend(postponed)
         if not scheduled and not postponed and self.waiting:
-            if self.block_manager.can_allocate(self.waiting[0]):
+            can_alloc = self.block_manager.can_allocate(self.waiting[0])
+            if did_preempt and can_alloc:
                 # Everything self-preempted (reference would assert here,
                 # scheduler.py:55): the freed blocks may now admit the
                 # preempted seq as a fresh prefill via the prefix cache.
+                # (Guarded on did_preempt: without freed resources this call,
+                # re-running the same admission would recurse forever —
+                # admission blocked by finished-but-inflight sequences clears
+                # when the engine drains instead.)
                 return self.schedule(can_drain)
-            if not can_drain:
+            if not can_drain and not can_alloc:
                 raise RuntimeError(
                     "KV cache too small: a single sequence exceeds capacity "
                     f"({self.block_manager.num_free_blocks} free blocks)")
@@ -216,15 +231,24 @@ class Scheduler:
                     break
                 token_id = int(token_matrix[t, i])
                 seq.append_token(token_id)
+                self.tokens_appended += 1
                 if len(seq) % bs == 0:
                     self.block_manager.finalize_block(seq)
-                if ((not seq.ignore_eos and token_id == self.eos)
-                        or seq.num_completion_tokens == seq.max_tokens):
+                unplanned = ((not seq.ignore_eos and token_id == self.eos)
+                             or seq.num_completion_tokens == seq.stop_after)
+                if unplanned or seq.num_completion_tokens == seq.max_tokens:
                     # removal from self.running is lazy (O(1) here; schedule()
                     # drops finished sequences when it pops them)
                     seq.status = SequenceStatus.FINISHED
                     self.num_live -= 1
                     finished.append(seq)
+                    if unplanned:
+                        self.unplanned_finishes += 1
+                        # everything scheduled past this token is discarded
+                        # speculative work (already-dispatched calls + the
+                        # rest of this call's scan)
+                        self.decode_tokens_wasted += \
+                            seq.num_sched_tokens - seq.num_tokens
             if seq.is_finished and seq.inflight == 0:
                 self._uncommit(seq)
                 if seq.slot is not None:

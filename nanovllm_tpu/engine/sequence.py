@@ -52,6 +52,7 @@ class Sequence:
         self.ignore_eos = sampling_params.ignore_eos
         self.top_k = sampling_params.top_k
         self.top_p = sampling_params.top_p
+        self.stop_after = sampling_params.stop_after
 
     def __len__(self):
         return self.num_tokens

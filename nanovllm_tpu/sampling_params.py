@@ -17,3 +17,9 @@ class SamplingParams:
     # extensions beyond the reference surface (0 / 1.0 = disabled)
     top_k: int = 0
     top_p: float = 1.0
+    # Unplannable stop after N completion tokens (None = disabled): finishes
+    # the sequence like an EOS the scheduler could not foresee — unlike
+    # max_tokens, the scheduler does NOT plan decode steps around it. Stands
+    # in for EOS/stop-string termination in benchmarks and tests of the
+    # speculative-decode-waste accounting.
+    stop_after: int | None = None

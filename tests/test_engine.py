@@ -194,6 +194,33 @@ def test_data_parallel_replicas(tiny_checkpoint, engine, rng):
     assert dp.metrics["requests_finished"] == 4
 
 
+def test_adaptive_decode_k_reduces_waste(tiny_checkpoint, rng):
+    """A high-hazard workload (stop_after ~ every few tokens) drives the
+    adaptive policy to a shorter decode scan, cutting speculative waste vs
+    the fixed-K engine on the identical workload."""
+    kw = dict(max_model_len=128, max_num_batched_tokens=256, max_num_seqs=8,
+              kvcache_block_size=8, num_kvcache_blocks=96,
+              attention_impl="xla", decode_steps_per_call=8, async_lag=2)
+    prompts = [rng.integers(0, 512, size=6).tolist() for _ in range(12)]
+    sps = [SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True,
+                          stop_after=3 + (i % 4)) for i in range(12)]
+
+    fixed = LLM(tiny_checkpoint, adaptive_decode_steps=False, **kw)
+    out_f = fixed.generate(prompts, sps, use_tqdm=False)
+    adaptive = LLM(tiny_checkpoint, adaptive_decode_steps=True, **kw)
+    out_a = adaptive.generate(prompts, sps, use_tqdm=False)
+
+    # same tokens either way (greedy; K only changes scan depth)
+    assert [o["token_ids"] for o in out_a] == [o["token_ids"] for o in out_f]
+    assert all(len(o["token_ids"]) == sp.stop_after
+               for o, sp in zip(out_a, sps))
+    assert fixed.metrics["decode_tokens_wasted"] > 0
+    assert (adaptive.metrics["decode_tokens_wasted"]
+            < fixed.metrics["decode_tokens_wasted"])
+    # the policy actually shrank K under the observed hazard
+    assert adaptive._pick_decode_steps() < 8
+
+
 def test_sampler_full_vocab_fallback():
     """A nucleus wider than the 64-candidate pool falls back to the exact
     full-vocab path: a flat 256-token distribution with top_p=0.95 must

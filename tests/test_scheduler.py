@@ -184,6 +184,29 @@ def test_lazy_finished_removal():
     assert len(sch.free_slots) == sch.max_num_seqs
 
 
+def test_stop_after_and_waste_accounting():
+    """stop_after finishes a sequence the planner could not foresee; the
+    tokens scheduled past the stop are counted as speculative waste."""
+    sch = make_scheduler(decode_steps=4)
+    s = seq(4, max_tokens=16, ignore_eos=True, stop_after=2)
+    sch.add(s)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps)          # prefill: completion token 1
+    seqs2, _, steps2 = sch.schedule()
+    assert steps2 == [4]                      # planner ignores stop_after
+    dispatch(seqs2, False, steps2)
+    # a second call is dispatched before the first materializes (async lag)
+    seqs3, _, steps3 = sch.schedule()
+    dispatch(seqs3, False, steps3)
+    fin = sch.postprocess(seqs2, steps2, np.array([[101], [102], [103], [104]]))
+    assert fin == [s] and s.completion_token_ids == [100, 101]
+    assert sch.unplanned_finishes == 1
+    # scheduled: 1 (prefill) + 4 + 4 = 9 tokens; used: 2 → wasted 7
+    assert sch.decode_tokens_wasted == 7
+    sch.postprocess(seqs3, steps3, np.array([[0]] * steps3[0]))
+    assert sch.is_finished()
+
+
 def test_schedule_empty_when_fully_scheduled():
     """A fully-scheduled-but-unmaterialized seq yields an empty schedule (the
     engine then drains)."""
