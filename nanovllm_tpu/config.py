@@ -93,19 +93,24 @@ class Config:
     quant_type: str | None = None            # per_tensor | per_row | per_group | smoothquant
     group_size: int = 128
     # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
-    # page bytes (≈2x the concurrent batch on a capacity-bound workload) and
-    # "int4" quarters them; the attention kernel dequantizes in-VMEM (sub-byte
-    # dtypes ride its packed uint32 strided loads). The reference reserves
-    # this knob but never implements it (config.py:24 comment) — here it is
-    # real. int4 is EXPERIMENTAL: coarse global-scale noise, and tunneled
-    # PJRT transports cannot pass int4 jit arguments (tools/int4_probe.py) —
-    # it requires a direct-attached TPU.
-    kv_cache_dtype: str = "auto"             # auto | int8 | fp8 | int4
-    # Global dequant scale for int8/int4 KV (stored = round(x / scale)).
+    # page bytes (≈2x the concurrent batch on a capacity-bound workload);
+    # "int8_rs" adds dynamic per-(row, head) scales in a bf16 sidecar
+    # (removes the global-scale clipping hazard on unnormalized V rows at
+    # +6% bytes); "int4" quarters the data bytes — nibble-packed int8
+    # storage with the same per-row scales. The reference reserves this knob
+    # but never implements it (config.py:24 comment). The _rs/int4 pools are
+    # readable only by the in-house flash-decode kernel and the scratch-
+    # dequant prefill path (models/qwen3.py), not the library ragged kernel.
+    kv_cache_dtype: str = "auto"      # auto | int8 | fp8 | int8_rs | int4
+    # Global dequant scale for plain int8 KV (stored = round(x / scale)).
     # Qwen3's per-head q/k RMSNorm keeps |k| ~ O(1); for int8, 1/16 covers
-    # ±7.9 with ~0.03 rounding noise. fp8 (e4m3) needs no scale. int4 uses
-    # 4x this scale (±7 quant levels vs ±127 at the same coverage).
+    # ±7.9 with ~0.03 rounding noise. fp8 (e4m3) and the row-scale modes
+    # need no global scale.
     kv_cache_scale: float = 0.0625
+    # Row-scale KV prefill: max pages a prefill batch's contexts may span
+    # (sizes the bf16 scratch pool the batch's pages are dequantized into).
+    # -1 = auto: new-token pages + one max-length context worth.
+    prefill_page_cap: int = -1
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
     # Admit a prefill only when its worst-case final KV footprint
     # (prompt + max_tokens, clipped to max_model_len) fits alongside all
@@ -186,15 +191,20 @@ class Config:
         if self.quant_type is not None:
             assert self.quant_type in ("per_tensor", "per_row", "per_group", "smoothquant")
         assert self.linear_dtype in ("bfloat16", "int8", "fp8")
-        assert self.kv_cache_dtype in ("auto", "int8", "fp8", "int4")
+        assert self.kv_cache_dtype in ("auto", "int8", "fp8", "int8_rs", "int4")
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"
+        if self.kv_cache_dtype in ("int8_rs", "int4") and self.prefill_page_cap <= 0:
+            ps = self.kvcache_block_size
+            self.prefill_page_cap = (self.max_num_batched_tokens // ps
+                                     + self.max_model_len // ps + 1)
         if self.attn_blocks_decode == "auto":
             # block optima differ by page dtype (tools/attn_tune.py sweeps):
             # int8 pages want (16, 8); bf16 pages want (8, 16)
             self.attn_blocks_decode = ((16, 8) if self.kv_cache_dtype
-                                       in ("int8", "fp8", "int4") else (8, 16))
+                                       in ("int8", "fp8", "int8_rs", "int4")
+                                       else (8, 16))
         if self.attention_impl == "xla":
             # The masked-softmax oracle materializes [T, B-context] fp32
             # scores; bound the batch so it stays test-sized. The Pallas

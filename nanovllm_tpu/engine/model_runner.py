@@ -83,10 +83,13 @@ class ModelRunner:
         if config.kv_cache_dtype == "int8":
             self.kv_dtype = jnp.int8
             self.kv_quant = ("int8", float(config.kv_cache_scale))
-        elif config.kv_cache_dtype == "int4":
-            # same absmax coverage as int8 (±127*scale) over ±7 levels
-            self.kv_dtype = jnp.int4
-            self.kv_quant = ("int4", (127.0 / 7.0) * float(config.kv_cache_scale))
+        elif config.kv_cache_dtype in ("int4", "int8_rs"):
+            # dynamic per-(row, head) scales in a bf16 sidecar pool; int4
+            # stores two nibbles per int8 byte (attention.quantize_kv).
+            # Only the in-house kernels / scratch-dequant prefill read these.
+            self.kv_dtype = jnp.int8
+            self.kv_quant = (("int4_rs" if config.kv_cache_dtype == "int4"
+                              else "int8_rs"), None)
         elif config.kv_cache_dtype == "fp8":
             self.kv_dtype = jnp.float8_e4m3fn
             self.kv_quant = ("fp8", 1.0)
@@ -160,10 +163,13 @@ class ModelRunner:
         # packed-metadata layout: all per-call int fields ride in ONE i32
         # upload (floats in one f32) — the per-transfer latency of a remote
         # PJRT transport makes per-field uploads the dominant prep cost
+        rs_kv = self.kv_quant is not None and self.kv_quant[0] in (
+            "int8_rs", "int4_rs")
         self.pack_layout = PackLayout(
             B=config.max_num_seqs, W=self.table_width,
             NP=config.max_num_batched_tokens // self.page_size + config.max_num_seqs,
-            NS=config.max_num_seqs)
+            NS=config.max_num_seqs,
+            NSP=config.prefill_page_cap if rs_kv else 1)
 
     def _replicate(self, x):
         """Place host data on the runner's device(s): replicated over the mesh
@@ -189,8 +195,10 @@ class ModelRunner:
         tokens on every host), kv_pages kept on the kv-head sharding."""
         if self.plan is None:
             return None
-        return (self.plan.replicated(), self.plan.kv_sharding(),
-                self.plan.replicated())
+        kv = self.plan.kv_sharding()
+        if isinstance(self.kv_pages, tuple):
+            kv = (kv, self.plan.kv_scales_sharding())
+        return (self.plan.replicated(), kv, self.plan.replicated())
 
     def _prefill_jit(self, use_topkp: bool, T: int):
         blocks = self._blocks_for(self.config.attn_blocks_prefill, T)
@@ -305,14 +313,18 @@ class ModelRunner:
 
     # ------------------------------------------------------------------ KV
     def _page_bytes(self):
-        """Bytes per logical page across all layers. Sub-byte dtypes (int4)
-        are stored packed on TPU (the attention kernel reads them via packed
-        uint32 strided loads), so count fractional bytes per element."""
+        """Bytes per logical page across all layers. Row-scale modes count
+        the packed data bytes plus the bf16 sidecar scale per (row, head)."""
         hf = self.config.hf_config
+        row_heads = 2 * hf.num_key_value_heads
+        if self.kv_quant is not None and self.kv_quant[0] in ("int8_rs", "int4_rs"):
+            data = hf.head_dim // (2 if self.kv_quant[0] == "int4_rs" else 1)
+            return (hf.num_hidden_layers * self.page_size
+                    * row_heads * (data + 2))
         bits = jnp.finfo(self.kv_dtype).bits if jnp.issubdtype(
             self.kv_dtype, jnp.floating) else jnp.iinfo(self.kv_dtype).bits
         return (hf.num_hidden_layers * self.page_size
-                * 2 * hf.num_key_value_heads * hf.head_dim * bits) // 8
+                * row_heads * hf.head_dim * bits) // 8
 
     def _allocate_kv_cache(self):
         """Size the pooled page cache from device memory (reference policy:
@@ -348,13 +360,25 @@ class ModelRunner:
         assert cfg.num_kvcache_blocks > 0, "not enough device memory for KV cache"
         self.pages_per_layer = cfg.num_kvcache_blocks + 1  # + garbage page
         hf = cfg.hf_config
+        rs = self.kv_quant is not None and self.kv_quant[0] in ("int8_rs", "int4_rs")
+        dp = hf.head_dim // (2 if rs and self.kv_quant[0] == "int4_rs" else 1)
         shape = (hf.num_hidden_layers * self.pages_per_layer, self.page_size,
-                 2 * hf.num_key_value_heads, hf.head_dim)
+                 2 * hf.num_key_value_heads, dp)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
-        # jitted zeros: eagerly materializing sub-byte (int4) constants can
-        # wedge a tunneled PJRT transport; under jit it is a device-side fill
-        zeros = jax.jit(lambda: jnp.zeros(shape, self.kv_dtype),
-                        out_shardings=sharding)
+        if rs:
+            sshape = shape[:3]
+            ssharding = (self.plan.kv_scales_sharding()
+                         if self.plan is not None else None)
+            zeros = jax.jit(
+                lambda: (jnp.zeros(shape, self.kv_dtype),
+                         jnp.zeros(sshape, jnp.bfloat16)),
+                out_shardings=((sharding, ssharding)
+                               if sharding is not None else None))
+        else:
+            # jitted zeros: device-side fill (eager giant constants are slow
+            # over a tunneled PJRT transport)
+            zeros = jax.jit(lambda: jnp.zeros(shape, self.kv_dtype),
+                            out_shardings=sharding)
         self.kv_pages = zeros()
         logger.info("KV cache: %d pages/layer x %d slots (%.2f GiB)",
                     cfg.num_kvcache_blocks, self.page_size,
@@ -404,6 +428,10 @@ class ModelRunner:
         input_ids, page_indices = v["input_ids"], v["page_indices"]
         slot_ids, top_ks = v["slot_ids"], v["top_ks"]
         temps, top_ps = fv["temperatures"], fv["top_ps"]
+        scratch_slots: dict[int, int] | None = None
+        if layout.NSP > 1:  # row-scale KV: compact page list for the
+            scratch_slots = {}  # scratch-dequant prefill (models/qwen3.py)
+            v["scratch_pages"][:] = cfg.num_kvcache_blocks  # garbage pad
         for i, seq in enumerate(seqs):
             input_ids[starts[i]:starts[i + 1]] = seq.token_ids[int(cached_lens[i]):]
             page_indices[i, :len(seq.block_table)] = seq.block_table
@@ -411,6 +439,15 @@ class ModelRunner:
             slot_ids[i] = seq.slot if seq.slot is not None else i
             top_ks[i] = seq.top_k
             top_ps[i] = seq.top_p
+            if scratch_slots is not None:
+                npages = (int(kv_lens[i]) + ps - 1) // ps
+                for j, pid in enumerate(seq.block_table[:npages]):
+                    s = scratch_slots.setdefault(pid, len(scratch_slots))
+                    v["scratch_pages"][s] = pid
+                    v["scratch_page_indices"][i, j] = s
+        if scratch_slots is not None:
+            assert len(scratch_slots) <= layout.NSP, \
+                (len(scratch_slots), layout.NSP)
         v["cu_q_lens"][1:n + 1] = starts[1:]
         v["cu_q_lens"][n + 1:] = qo
         v["num_seqs"][0] = n
@@ -527,7 +564,10 @@ def _prefill_step_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
         store_row_src=v["store_row_src"],
         store_row_dst_page=v["store_row_dst_page"],
         store_row_dst_pos=v["store_row_dst_pos"],
-        store_counts=v["store_counts"])
+        store_counts=v["store_counts"],
+        scratch_pages=(v["scratch_pages"] if layout.NSP > 1 else None),
+        scratch_page_indices=(v["scratch_page_indices"] if layout.NSP > 1
+                              else None))
     key = jax.random.fold_in(base_key, v["step_ctr"][0])
     return _prefill_step(params, kv_pages, last_tokens, meta, v["input_ids"],
                          key, sc=sc, use_topkp=use_topkp)

@@ -57,6 +57,11 @@ class AttnMeta(NamedTuple):
     store_row_dst_page: jax.Array  # i32[NS] logical page ids
     store_row_dst_pos: jax.Array   # i32[NS]
     store_counts: jax.Array     # i32[2]
+    # row-scale KV prefill (None otherwise): compact list of this batch's
+    # logical pages to dequantize into the bf16 scratch pool (padded with the
+    # garbage page), and the page table remapped into scratch positions
+    scratch_pages: jax.Array | None = None        # i32[NSP]
+    scratch_page_indices: jax.Array | None = None  # i32[B, W]
 
 
 class DecodeMeta(NamedTuple):
@@ -100,17 +105,38 @@ def quantize_kv(kv_new, kv_quant: tuple):
     dequantized in the attention kernel as stored * scale (one global scale —
     the granularity the in-tree kernel's k_scale/v_scale supports).
     ("fp8", 1.0): plain e4m3 cast (scale-free). An extension beyond the
-    reference, which reserves kv-cache dtype config but never implements it."""
+    reference, which reserves kv-cache dtype config but never implements it.
+
+    ("int8_rs"|"int4_rs", _): dynamic per-(row, head) scales — returns
+    (stored, scales bf16[T, 2Hk]) for a sidecar scale pool; int4_rs packs two
+    nibbles per int8 byte (low nibble = D[:D/2], high = D[D/2:], so the
+    kernel unpack is two arithmetic shifts + a concat, no interleave).
+    Per-row scales remove the global-scale clipping hazard on unnormalized V
+    rows; only the in-house kernels / XLA oracle can dequantize them."""
     kind, scale = kv_quant
     if kind == "int8":
         q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
         return jnp.clip(q, -127, 127).astype(jnp.int8)
-    if kind == "int4":
-        q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
-        return jnp.clip(q, -7, 7).astype(jnp.int4)
     if kind == "fp8":
         return kv_new.astype(jnp.float8_e4m3fn)
+    if kind in ("int8_rs", "int4_rs"):
+        qmax = 127.0 if kind == "int8_rs" else 7.0
+        x = kv_new.astype(jnp.float32)
+        absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-8)  # [T, 2Hk]
+        qv = jnp.clip(jnp.round(x * (qmax / absmax[..., None])),
+                      -qmax, qmax).astype(jnp.int8)
+        if kind == "int4_rs":
+            D = qv.shape[-1]
+            qv = (qv[..., :D // 2] & 15) | jnp.left_shift(qv[..., D // 2:], 4)
+        return qv, (absmax * (1.0 / qmax)).astype(jnp.bfloat16)
     raise ValueError(f"unknown kv_quant kind {kind!r}")
+
+
+def unpack_int4(packed):
+    """[..., Dp] int8 nibbles → [..., 2*Dp] int8 in original D order."""
+    lo = jnp.left_shift(packed, 4) >> 4
+    hi = packed >> 4
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
@@ -120,9 +146,21 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
     Static dispatch on the meta shape: a decode-scan meta carries a
     length-1 (dummy) page-copy table — all its writes are single rows —
     and takes the unrolled row-store kernel; prefill metas take the general
-    ring kernel with full-page copies."""
+    ring kernel with full-page copies.
+
+    Row-scale KV modes pass tuples: kv_pages = (pages, scale pool
+    [P, ps, 2Hk]) and kv_new = (rows, scales [T, 2Hk]); the same store
+    kernels move both (they are layout-generic over the trailing dims)."""
     from nanovllm_tpu.ops.pallas.kv_store import kv_store, kv_store_rows
     off = layer_idx * pages_per_layer
+    if isinstance(kv_pages, tuple):
+        pages, spool = kv_pages
+        rows, srows = kv_new
+        pages = store_kv(pages, rows, meta, layer_idx, page_size=page_size,
+                         pages_per_layer=pages_per_layer, interpret=interpret)
+        spool = store_kv(spool, srows, meta, layer_idx, page_size=page_size,
+                         pages_per_layer=pages_per_layer, interpret=interpret)
+        return pages, spool
     if meta.store_page_src.shape[0] == 1:
         return kv_store_rows(
             kv_pages, kv_new, meta.store_row_src,
@@ -144,9 +182,31 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     ``blocks``: optional (num_kv_pages_per_block, num_queries_per_block)
     override for the ragged kernel (the library's auto-tune table has no
     entries for this GQA shape on v5e). ``kv_quant``: ("int8"|"fp8", scale)
-    when the page pool is quantized — the kernel dequantizes in-VMEM."""
+    when the page pool is quantized — the kernel dequantizes in-VMEM; the
+    row-scale modes ("int8_rs"/"int4_rs") carry a (pages, scales) tuple pool
+    that only the in-house flash-decode kernel / XLA oracle can read."""
+    kind = kv_quant[0] if kv_quant is not None else None
+    kv_scales = None
+    if isinstance(kv_pages, tuple):
+        kv_pages, kv_scales = kv_pages
     page_indices = meta.page_indices + layer_idx * pages_per_layer
-    kv_scale = kv_quant[1] if kv_quant is not None else None
+    is_decode = meta.store_page_src.shape[0] == 1  # decode-scan meta shape
+    kv_scale = (kv_quant[1] if kv_quant is not None
+                and kind not in ("int8_rs", "int4_rs") else None)
+    if is_decode and (impl == "flash"
+                      or (kv_scales is not None and impl != "xla")):
+        # decode-scan step: q rows ARE lanes (T == B, identity slot map per
+        # engine/model_runner._decode_steps); inactive lanes read 0 context
+        from nanovllm_tpu.ops.pallas.flash_decode import flash_decode_attention
+        lens = jnp.where(meta.q_segment_ids >= 0, meta.kv_lens, 0)
+        kv_mode = kind if kind in ("int8_rs", "int4_rs") else "dense"
+        return flash_decode_attention(
+            q, kv_pages, lens, page_indices, sm_scale=scale,
+            kv_scale=kv_scale, kv_scales=kv_scales, kv_mode=kv_mode)
+    if kv_scales is not None and impl != "xla":
+        raise NotImplementedError(
+            "row-scale KV prefill requires the scratch-dequant path "
+            "(attention_impl='xla' covers tests)")
     if impl == "ragged":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
@@ -163,11 +223,14 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
             num_kv_pages_per_block=bkv, num_queries_per_block=bq,
             vmem_limit_bytes=100 * 2**20)
     return _paged_attention_xla(q, kv_pages, meta, page_indices, scale,
-                                page_size=page_size, kv_scale=kv_scale)
+                                page_size=page_size, kv_scale=kv_scale,
+                                kv_scales=kv_scales,
+                                packed_int4=kind == "int4_rs")
 
 
 def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
-                         page_size: int, kv_scale: float | None = None):
+                         page_size: int, kv_scale: float | None = None,
+                         kv_scales=None, packed_int4: bool = False):
     """Masked-softmax oracle over the paged cache. O(T * B * W * ps) memory —
     for tests and small shapes only."""
     T, Hq, D = q.shape
@@ -176,10 +239,15 @@ def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
     Hk = Hk2 // 2
     G = Hq // Hk
     S = W * page_size
-    rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, 2Hk, D]
+    rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, 2Hk, Dp]
+    if packed_int4:
+        rows = unpack_int4(rows)
     rows = rows.reshape(B, S, Hk2, D).astype(jnp.float32)
     if kv_scale is not None:
         rows = rows * kv_scale
+    if kv_scales is not None:  # per-(row, head) sidecar scales
+        srow = jnp.take(kv_scales, page_indices.reshape(-1), axis=0)
+        rows = rows * srow.reshape(B, S, Hk2, 1).astype(jnp.float32)
     k = rows[:, :, 0::2, :]   # [B, S, Hk, D]
     v = rows[:, :, 1::2, :]
     seg = jnp.clip(meta.q_segment_ids, 0, B - 1)

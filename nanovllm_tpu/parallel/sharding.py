@@ -110,6 +110,10 @@ class ShardingPlan:
         # (interleaved k/v pairs stay together while tp <= Hk)
         return NamedSharding(self.mesh, P(None, None, "model", None))
 
+    def kv_scales_sharding(self) -> NamedSharding:
+        # row-scale sidecar [L*P, page_size, 2*Hk]: scales follow their heads
+        return NamedSharding(self.mesh, P(None, None, "model"))
+
 
 def _flatten_with_paths(tree, prefix=""):
     if not isinstance(tree, dict):

@@ -22,20 +22,20 @@ def _oracle(pages, q, table, L, h, g, scale):
     return p @ vv[:, h]
 
 
-@pytest.mark.parametrize("chunk", [1, 2, 4])
-def test_flash_decode_matches_oracle(chunk):
+@pytest.mark.parametrize("chunk,lanes", [(1, 8), (2, 4), (4, 2), (2, 1)])
+def test_flash_decode_matches_oracle(chunk, lanes):
     rng = np.random.default_rng(0)
     pages = jax.random.normal(jax.random.key(0), (P, PS, 2 * Hk, D), jnp.float32)
-    B = 5
+    B = 8
     q = jax.random.normal(jax.random.key(1), (B, Hq, D), jnp.float32)
     # edge cases: single token, page boundary, exact page, inactive, long
-    kv_lens = np.array([1, 17, 16, 0, 100], np.int32)
+    kv_lens = np.array([1, 17, 16, 0, 100, 0, 5, 128], np.int32)
     pi = np.zeros((B, W), np.int32)
     for i in range(B):
         pi[i] = rng.permutation(P)[:W]
     out = np.asarray(flash_decode_attention(
         q, pages, jnp.asarray(kv_lens), jnp.asarray(pi), sm_scale=0.0883,
-        chunk=chunk, interpret=True))
+        chunk=chunk, lanes_per_step=lanes, interpret=True))
     pages_np = np.asarray(pages)
     for i in range(B):
         if kv_lens[i] == 0:
@@ -46,6 +46,66 @@ def test_flash_decode_matches_oracle(chunk):
                 ref = _oracle(pages_np, np.asarray(q[i, 2 * h + g]), pi[i],
                               kv_lens[i], h, g, 0.0883)
                 np.testing.assert_allclose(out[i, 2 * h + g], ref, atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["int8_rs", "int4_rs"])
+def test_flash_decode_rowscale(kind):
+    """Per-(row, head)-scale pools (int8 / nibble-packed int4): the kernel's
+    in-VMEM dequant (+ unpack) matches a dense oracle over the dequantized
+    rows, within the mode's quantization-free tolerance (the oracle reads
+    the SAME quantized values, so this is exact up to fp accumulation)."""
+    from nanovllm_tpu.ops.attention import quantize_kv, unpack_int4
+    rng = np.random.default_rng(2)
+    # outlier-heavy rows: per-row scales must handle 100x spread (the global
+    # scale failure mode on unnormalized V rows)
+    raw = jax.random.normal(jax.random.key(4), (P * PS, 2 * Hk, D), jnp.float32)
+    raw = raw * jnp.asarray(
+        np.exp(rng.uniform(-2, 2, (P * PS, 2 * Hk, 1))), jnp.float32)
+    stored, scales = quantize_kv(raw, (kind, None))
+    Dp = D // 2 if kind == "int4_rs" else D
+    pages = stored.reshape(P, PS, 2 * Hk, Dp)
+    spool = scales.reshape(P, PS, 2 * Hk)
+    B = 4
+    q = jax.random.normal(jax.random.key(5), (B, Hq, D), jnp.float32)
+    kv_lens = np.array([1, 33, 0, 100], np.int32)
+    pi = np.stack([rng.permutation(P)[:W] for _ in range(B)]).astype(np.int32)
+    out = np.asarray(flash_decode_attention(
+        q, pages, jnp.asarray(kv_lens), jnp.asarray(pi), sm_scale=0.0883,
+        kv_scales=spool, kv_mode=kind, chunk=2, lanes_per_step=4,
+        interpret=True))
+    # dequantized oracle pool
+    unpacked = unpack_int4(stored) if kind == "int4_rs" else stored
+    deq = (np.asarray(unpacked).astype(np.float32)
+           * np.asarray(scales).astype(np.float32)[..., None])
+    deq = deq.reshape(P, PS, 2 * Hk, D)
+    for i in range(B):
+        if kv_lens[i] == 0:
+            assert np.allclose(out[i], 0)
+            continue
+        for h in range(Hk):
+            for g in range(2):
+                ref = _oracle(deq, np.asarray(q[i, 2 * h + g]), pi[i],
+                              kv_lens[i], h, g, 0.0883)
+                np.testing.assert_allclose(out[i, 2 * h + g], ref, atol=5e-3)
+
+
+def test_rowscale_quant_roundtrip_quality():
+    """int4_rs with per-row scales bounds relative error even with 100x
+    per-row dynamic range (where a global int4 scale saturates or crushes)."""
+    from nanovllm_tpu.ops.attention import quantize_kv, unpack_int4
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((256, 16, 128)).astype(np.float32)
+    x *= np.exp(rng.uniform(-2.3, 2.3, (256, 16, 1))).astype(np.float32)
+    stored, scales = quantize_kv(jnp.asarray(x), ("int4_rs", None))
+    deq = (np.asarray(unpack_int4(stored)).astype(np.float32)
+           * np.asarray(scales).astype(np.float32)[..., None])
+    rel = np.abs(deq - x).max(-1) / np.abs(x).max(-1)
+    assert rel.max() < 0.08  # 1/(2*7) rounding + bf16 scale error
+    stored8, scales8 = quantize_kv(jnp.asarray(x), ("int8_rs", None))
+    deq8 = (np.asarray(stored8).astype(np.float32)
+            * np.asarray(scales8).astype(np.float32)[..., None])
+    rel8 = np.abs(deq8 - x).max(-1) / np.abs(x).max(-1)
+    assert rel8.max() < 0.008
 
 
 def test_flash_decode_int8_scale():
