@@ -95,12 +95,14 @@ class Config:
     # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
     # page bytes (≈2x the concurrent batch on a capacity-bound workload);
     # "int8_rs" adds dynamic per-(row, head) scales in a bf16 sidecar
-    # (removes the global-scale clipping hazard on unnormalized V rows at
-    # +6% bytes); "int4" quarters the data bytes — nibble-packed int8
-    # storage with the same per-row scales. The reference reserves this knob
-    # but never implements it (config.py:24 comment). The _rs/int4 pools are
-    # readable only by the in-house flash-decode kernel and the scratch-
-    # dequant prefill path (models/qwen3.py), not the library ragged kernel.
+    # (removes the global-scale clipping hazard on unnormalized V rows; the
+    # 128-lane-padded sidecar adds 12.5% to int8 page bytes); "int4" halves
+    # the data bytes again — K|V nibbles of each head pair packed per byte,
+    # same per-row scales (sidecar is then 25% of the 1 kB/row data). The
+    # reference reserves this knob but never implements it (config.py:24
+    # comment). The _rs/int4 pools are readable only by the in-house
+    # flash-decode kernel and the scratch-dequant prefill path
+    # (models/qwen3.py), not the library ragged kernel.
     kv_cache_dtype: str = "auto"      # auto | int8 | fp8 | int8_rs | int4
     # Global dequant scale for plain int8 KV (stored = round(x / scale)).
     # Qwen3's per-head q/k RMSNorm keeps |k| ~ O(1); for int8, 1/16 covers

@@ -318,9 +318,11 @@ class ModelRunner:
         hf = self.config.hf_config
         row_heads = 2 * hf.num_key_value_heads
         if self.kv_quant is not None and self.kv_quant[0] in ("int8_rs", "int4_rs"):
-            data = hf.head_dim // (2 if self.kv_quant[0] == "int4_rs" else 1)
+            from nanovllm_tpu.ops.attention import kv_scale_width
+            data = row_heads * hf.head_dim // (
+                2 if self.kv_quant[0] == "int4_rs" else 1)
             return (hf.num_hidden_layers * self.page_size
-                    * row_heads * (data + 2))
+                    * (data + 2 * kv_scale_width(row_heads)))
         bits = jnp.finfo(self.kv_dtype).bits if jnp.issubdtype(
             self.kv_dtype, jnp.floating) else jnp.iinfo(self.kv_dtype).bits
         return (hf.num_hidden_layers * self.page_size
@@ -361,12 +363,17 @@ class ModelRunner:
         self.pages_per_layer = cfg.num_kvcache_blocks + 1  # + garbage page
         hf = cfg.hf_config
         rs = self.kv_quant is not None and self.kv_quant[0] in ("int8_rs", "int4_rs")
-        dp = hf.head_dim // (2 if rs and self.kv_quant[0] == "int4_rs" else 1)
+        packed = rs and self.kv_quant[0] == "int4_rs"
+        # int4_rs packs a KV-head pair's nibbles into one byte: row
+        # [Hk, head_dim] — the full-lane minor dim Mosaic DMA needs
+        row_heads = (1 if packed else 2) * hf.num_key_value_heads
         shape = (hf.num_hidden_layers * self.pages_per_layer, self.page_size,
-                 2 * hf.num_key_value_heads, dp)
+                 row_heads, hf.head_dim)
         sharding = self.plan.kv_sharding() if self.plan is not None else None
         if rs:
-            sshape = shape[:3]
+            from nanovllm_tpu.ops.attention import kv_scale_width
+            sshape = (shape[0], self.page_size,
+                      kv_scale_width(2 * hf.num_key_value_heads))
             ssharding = (self.plan.kv_scales_sharding()
                          if self.plan is not None else None)
             zeros = jax.jit(

@@ -174,12 +174,18 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
             # Bounded by the scheduler's prefill page cap (scheduler.py).
             pages, spool = kv_pages
             sp = meta.scratch_pages + layer_idx * sc.pages_per_layer
-            rows = jnp.take(pages, sp, axis=0)        # [NSP, ps, 2Hk, Dp]
+            rows = jnp.take(pages, sp, axis=0)        # [NSP, ps, {2Hk|Hk}, D]
             if sc.kv_quant[0] == "int4_rs":
-                rows = attn_ops.unpack_int4(rows)
-            scl = jnp.take(spool, sp, axis=0)         # [NSP, ps, 2Hk]
-            scratch = (rows.astype(jnp.float32)
-                       * scl[..., None].astype(jnp.float32)).astype(x.dtype)
+                rows = attn_ops.unpack_int4(rows)     # b=16V+K → [.., 2Hk, D]
+            scl = attn_ops.take_kv_scales(
+                jnp.take(spool, sp, axis=0), rows.shape[2])  # [NSP, ps, 2Hk]
+            deq = (rows.astype(jnp.float32)
+                   * scl[..., None].astype(jnp.float32)).astype(x.dtype)
+            # rs pools are K-first (ops/attention.quantize_kv); the library
+            # ragged kernel wants interleaved combined heads — restripe
+            Hk = deq.shape[2] // 2
+            scratch = jnp.stack([deq[:, :, :Hk], deq[:, :, Hk:]],
+                                axis=3).reshape(deq.shape)
             smeta = meta._replace(page_indices=meta.scratch_page_indices)
             o = attn_ops.paged_attention(
                 q, scratch, smeta, 0, scale, impl=sc.attention_impl,

@@ -98,6 +98,33 @@ def combine_kv(k, v):
     return jnp.stack([k, v], axis=2).reshape(T, 2 * Hk, D)
 
 
+def kv_scale_width(num_combined_heads: int) -> int:
+    """Lane-padded width of one sidecar scale row.
+
+    Mosaic DMAs require 128-lane-aligned blocks (a [ps, 2Hk=16] bf16 block
+    crashes the memref slicer), so scale rows are stored 128 lanes wide:
+    heads contiguous in the first 2Hk lanes, zero padding after (the
+    contiguous [:, :2Hk] slice is what the decode kernel's per-chunk scale
+    transpose wants). Under TP the sidecar is replicated — it is ~3% of the
+    page pool (see parallel/sharding.kv_scales_sharding)."""
+    return -(-num_combined_heads // 128) * 128
+
+
+def pad_kv_scales(scales):
+    """[..., 2Hk] → [..., SW]: zero-pad the lane dim to the stored width."""
+    hk2 = scales.shape[-1]
+    sw = kv_scale_width(hk2)
+    if sw == hk2:
+        return scales
+    pad = [(0, 0)] * (scales.ndim - 1) + [(0, sw - hk2)]
+    return jnp.pad(scales, pad)
+
+
+def take_kv_scales(padded, num_combined_heads: int):
+    """[..., SW] → [..., 2Hk]: inverse of pad_kv_scales."""
+    return padded[..., :num_combined_heads]
+
+
 def quantize_kv(kv_new, kv_quant: tuple):
     """Quantize combined K/V rows for a low-bit page pool.
 
@@ -108,11 +135,17 @@ def quantize_kv(kv_new, kv_quant: tuple):
     reference, which reserves kv-cache dtype config but never implements it.
 
     ("int8_rs"|"int4_rs", _): dynamic per-(row, head) scales — returns
-    (stored, scales bf16[T, 2Hk]) for a sidecar scale pool; int4_rs packs two
-    nibbles per int8 byte (low nibble = D[:D/2], high = D[D/2:], so the
-    kernel unpack is two arithmetic shifts + a concat, no interleave).
+    (stored, scales bf16[T, SW] lane-padded, see kv_scale_width). Unlike the
+    dense pools (interleaved K/V heads for the library ragged kernel), the
+    rs pools are read ONLY by the in-house flash-decode kernel and use a
+    **K-first** head axis: rows/scales index [0:Hk] = K heads, [Hk:2Hk] = V
+    heads, so the kernel's whole-tile K and V slices are contiguous.
+    int4_rs packs a head pair's values as one int8 byte b = 16*V + K
+    (K, V in [-7, 7], uniquely decodable) — the packed row [Hk, D] keeps the
+    full 128-lane minor dim Mosaic's DMA slicer requires, and the kernel
+    recovers q·K from two matmuls (q@b - 16*(q@V)) without unpacking K.
     Per-row scales remove the global-scale clipping hazard on unnormalized V
-    rows; only the in-house kernels / XLA oracle can dequantize them."""
+    rows."""
     kind, scale = kv_quant
     if kind == "int8":
         q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
@@ -120,23 +153,28 @@ def quantize_kv(kv_new, kv_quant: tuple):
     if kind == "fp8":
         return kv_new.astype(jnp.float8_e4m3fn)
     if kind in ("int8_rs", "int4_rs"):
+        # interleaved combined heads (combine_kv) → K-first
+        x = jnp.concatenate([kv_new[..., 0::2, :], kv_new[..., 1::2, :]],
+                            axis=-2).astype(jnp.float32)
         qmax = 127.0 if kind == "int8_rs" else 7.0
-        x = kv_new.astype(jnp.float32)
         absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-8)  # [T, 2Hk]
         qv = jnp.clip(jnp.round(x * (qmax / absmax[..., None])),
                       -qmax, qmax).astype(jnp.int8)
         if kind == "int4_rs":
-            D = qv.shape[-1]
-            qv = (qv[..., :D // 2] & 15) | jnp.left_shift(qv[..., D // 2:], 4)
-        return qv, (absmax * (1.0 / qmax)).astype(jnp.bfloat16)
+            Hk = qv.shape[-2] // 2
+            k, v = qv[..., :Hk, :], qv[..., Hk:, :]     # [T, Hk, D] each
+            qv = (16 * v + k).astype(jnp.int8)          # b in [-119, 119]
+        return qv, pad_kv_scales((absmax * (1.0 / qmax)).astype(jnp.bfloat16))
     raise ValueError(f"unknown kv_quant kind {kind!r}")
 
 
 def unpack_int4(packed):
-    """[..., Dp] int8 nibbles → [..., 2*Dp] int8 in original D order."""
-    lo = jnp.left_shift(packed, 4) >> 4
-    hi = packed >> 4
-    return jnp.concatenate([lo, hi], axis=-1)
+    """KV-packed bytes b = 16*V + K [..., Hk, D] → K-first combined rows
+    [..., 2Hk, D] int8 ([0:Hk] = K heads, [Hk:] = V heads)."""
+    b = packed.astype(jnp.int32)
+    v = (b + 8) >> 4                 # = round-to-floor((b + 8) / 16)
+    k = b - 16 * v
+    return jnp.concatenate([k, v], axis=-2).astype(jnp.int8)
 
 
 def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
@@ -149,8 +187,9 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
     ring kernel with full-page copies.
 
     Row-scale KV modes pass tuples: kv_pages = (pages, scale pool
-    [P, ps, 2Hk]) and kv_new = (rows, scales [T, 2Hk]); the same store
-    kernels move both (they are layout-generic over the trailing dims)."""
+    [P, ps, SW]) and kv_new = (rows, scales [T, SW]) with SW the lane-padded
+    scale width (kv_scale_width); the same store kernels move both (they are
+    layout-generic over the trailing dims)."""
     from nanovllm_tpu.ops.pallas.kv_store import kv_store, kv_store_rows
     off = layer_idx * pages_per_layer
     if isinstance(kv_pages, tuple):
@@ -235,21 +274,26 @@ def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
     for tests and small shapes only."""
     T, Hq, D = q.shape
     B, W = page_indices.shape
-    Hk2 = kv_pages.shape[2]
+    Hk2 = kv_pages.shape[2] * (2 if packed_int4 else 1)
     Hk = Hk2 // 2
     G = Hq // Hk
     S = W * page_size
-    rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, 2Hk, Dp]
+    rows = jnp.take(kv_pages, page_indices.reshape(-1), axis=0)  # [B*W, ps, {2Hk,Hk}, Dp]
     if packed_int4:
         rows = unpack_int4(rows)
     rows = rows.reshape(B, S, Hk2, D).astype(jnp.float32)
     if kv_scale is not None:
         rows = rows * kv_scale
-    if kv_scales is not None:  # per-(row, head) sidecar scales
-        srow = jnp.take(kv_scales, page_indices.reshape(-1), axis=0)
+    if kv_scales is not None:  # per-(row, head) sidecar scales (lane-padded)
+        srow = take_kv_scales(
+            jnp.take(kv_scales, page_indices.reshape(-1), axis=0), Hk2)
         rows = rows * srow.reshape(B, S, Hk2, 1).astype(jnp.float32)
-    k = rows[:, :, 0::2, :]   # [B, S, Hk, D]
-    v = rows[:, :, 1::2, :]
+    if kv_scales is not None:  # rs pools use the K-first head axis
+        k = rows[:, :, :Hk, :]    # [B, S, Hk, D]
+        v = rows[:, :, Hk:, :]
+    else:                      # dense pools interleave (library layout)
+        k = rows[:, :, 0::2, :]
+        v = rows[:, :, 1::2, :]
     seg = jnp.clip(meta.q_segment_ids, 0, B - 1)
     kt = jnp.take(k, seg, axis=0)                 # [T, S, Hk, D]
     vt = jnp.take(v, seg, axis=0)

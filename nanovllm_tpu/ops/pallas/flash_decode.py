@@ -11,33 +11,44 @@ nanovllm/layers/attention.py:72-74), an external CUDA dependency there.
 
 It is also the engine's integration point for sub-byte KV: ``kv_mode``
 
-- ``dense``    — pool [P, ps, 2Hk, D] in bf16 / int8 / fp8 with an optional
-                 global ``kv_scale`` (the layout the library kernel reads).
+- ``dense``    — pool [P, ps, 2Hk, D] interleaved combined heads in
+                 bf16 / int8 / fp8 with an optional global ``kv_scale``
+                 (the layout the library kernel reads).
 - ``int8_rs``  — int8 pool + per-(row, head) bf16 scales in a sidecar
-                 ``kv_scales [P, ps, 2Hk]``: dequant is a [Tc, 1] column
-                 broadcast against each head's [Tc, D] tile. Fixes the
-                 global-scale clipping hazard on unnormalized V rows.
-- ``int4_rs``  — nibble-packed int8 pool [P, ps, 2Hk, D/2] (low nibble =
-                 D[0:64], high = D[64:128], so in-kernel unpack is two
-                 arithmetic shifts + a lane concat, no interleave) + the
-                 same per-row scales. Halves decode HBM traffic vs int8.
+                 ``kv_scales [P, ps, SW]`` (SW = 128-lane-padded width:
+                 Mosaic's DMA slicer requires 128-lane-minor blocks).
+                 Fixes the global-scale clipping hazard on unnormalized
+                 V rows. Pool head axis is **K-first** ([0:Hk] = K heads,
+                 [Hk:] = V), so K and V are contiguous lane slices of the
+                 flat row.
+- ``int4_rs``  — packed pool [P, ps, Hk, D]: byte b = 16*V + K
+                 (K, V in [-7, 7]) + the same per-row scales. Halves
+                 decode HBM traffic vs int8. K is never unpacked:
+                 q·K = q·b - 16*(q·V).
 
-Design lessons from the v1 post-mortems (an earlier revision measured
-3.1 ms vs the tuned library kernel's 0.86 ms at B=256/ctx=1k int8, and a
-restructured one deadlocked on device):
+Design lessons from the v1/v2 post-mortems (v1: 3.1 ms vs the tuned library
+kernel's 0.86 ms at B=256/ctx=1k int8; v2 restructured the dequant onto the
+score matrices and still measured ~3 ms):
 
 - **Lane grouping**: grid is (B / lanes_per_step,), not (B,) — v1's 256
-  sequential grid steps paid ~12 us of per-step overhead each, which
-  dominated the whole kernel. Lanes in a group are processed sequentially
-  in-register while their page streams prefetch concurrently.
+  sequential grid steps paid ~12 us of per-step overhead each. Lanes in a
+  group are processed sequentially in-register while their page streams
+  prefetch concurrently.
 - **Static DMA discipline**: every semaphore index is static (python-level
   lane/bank/slot unroll; the buffer parity is branched under ``pl.when``),
   and every ``start`` is guarded by *exactly* the same predicate as its
   ``wait`` — issue/wait counts match by construction, the deadlock class
   v1's loop-carried dynamic semaphore indices invited cannot occur.
-- **No cross-step handoff**: v1 threaded a prefetch handoff through SMEM
-  across grid steps; the bubble it hides is one DMA latency per grid step
-  (not per lane), which lane grouping already divides by lanes_per_step.
+- **Whole-tile compute** (v3, the rs path): v2's per-kv-head loop issued
+  ~190 small VPU/MXU ops per chunk ([G=2, Tc] matmuls and updates) whose
+  issue overhead dominated the kernel. v3 runs ONE block-diagonal QK matmul
+  ``q_blk [Hq, Hk*D] @ k_flat^T`` and ONE PV matmul per chunk (the 8x MXU
+  redundancy is ~85 ns/chunk — irrelevant next to op overhead), with
+  row-scale dequant applied to the [Hq, Tc] score/probability matrices via
+  two tiny selection matmuls. The pool rides flat ([P, ps, hdim*D]) so K/V
+  are contiguous lane slices — no in-kernel reshapes of streamed data.
+  int8→bf16 converts are exact (values <= 127), so the only numeric loss vs
+  an f32 oracle is bf16 matmul rounding of q.
 """
 
 import functools
@@ -50,29 +61,60 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _unpack_int4(packed):
-    """[T, Dp] int8 nibbles → [T, 2*Dp] int8 in original D order
-    (low nibble = first half of D, high nibble = second half)."""
-    lo = jnp.left_shift(packed, 4) >> 4   # arithmetic: sign-extended low
-    hi = packed >> 4                       # arithmetic: sign-extended high
-    return jnp.concatenate([lo, hi], axis=-1)
+def _make_dma(kv_lens_ref, page_indices_ref, pages_hbm, scales_hbm, kbuf,
+              sbuf, sems, sems_s, *, ps, chunk, lanes, with_scales):
+    """issue/wait pair for one chunk of pages.
+
+    Copies are UNCONDITIONAL (out-of-range pages clamp to page 0, like the
+    library kernel's MultiPageAsyncCopyDescriptor): per-page ``pl.when``
+    predication costs ~0.5 us of scalar-core time per page — measured as
+    the dominant cost of the whole kernel (~3.4 ms of a 3.5 ms call at
+    B=256/ctx=1k). The score-level valid mask makes clamped-page data
+    harmless. One shared semaphore per (lane, bank); every started copy is
+    waited exactly once per chunk — every lane (even kv_len=0) consumes at
+    least one chunk, so counts balance by construction."""
+    W = page_indices_ref.shape[1]
+
+    def issue(li: int, bank: int, cc, step):
+        lane = step * lanes + li
+        npages = pl.cdiv(kv_lens_ref[lane], ps) - cc * chunk
+        for j in range(chunk):
+            idx = jnp.minimum(cc * chunk + j, W - 1)
+            pid = jax.lax.select(j < npages,
+                                 page_indices_ref[lane, idx], 0)
+            pltpu.make_async_copy(
+                pages_hbm.at[pid],
+                kbuf.at[li, bank, pl.ds(j * ps, ps)],
+                sems.at[li, bank]).start()
+            if with_scales:
+                pltpu.make_async_copy(
+                    scales_hbm.at[pid],
+                    sbuf.at[li, bank, pl.ds(j * ps, ps)],
+                    sems_s.at[li, bank]).start()
+
+    def wait(li: int, bank: int, cc, step):
+        for j in range(chunk):
+            pltpu.make_async_copy(
+                pages_hbm.at[0],
+                kbuf.at[li, bank, pl.ds(j * ps, ps)],
+                sems.at[li, bank]).wait()
+            if with_scales:
+                pltpu.make_async_copy(
+                    scales_hbm.at[0],
+                    sbuf.at[li, bank, pl.ds(j * ps, ps)],
+                    sems_s.at[li, bank]).wait()
+
+    return issue, wait
 
 
-def _kernel(
-    # scalar prefetch
+def _kernel_dense(
     kv_lens_ref,       # i32[B] context length per lane (0 = skip lane)
     page_indices_ref,  # i32[B, W]
-    # inputs
     q_ref,             # [LG, Hq, D] this group's queries
-    pages_hbm,         # [P, ps, 2Hk, Dp] page pool (ANY/HBM)
-    scales_hbm,        # [P, ps, 2Hk] bf16 per-row scales (ANY; dummy if unused)
-    # output
+    pages_hbm,         # [P, ps, 2Hk, D] page pool (ANY/HBM), interleaved
     o_ref,             # [LG, Hq, D]
-    # scratch
-    kbuf,              # [LG, 2, CHUNK * ps, 2Hk, Dp] per-lane double buffers
-    sbuf,              # [LG, 2, CHUNK * ps, 2Hk] bf16 scale buffers
+    kbuf,              # [LG, 2, CHUNK * ps, 2Hk, D] per-lane double buffers
     sems,              # DMA sems [LG, 2, CHUNK]
-    sems_s,            # DMA sems [LG, 2, CHUNK] (scale copies)
     m_ref,             # f32[Hq, 128] running max (lane-replicated)
     l_ref,             # f32[Hq, 128] running denom
     acc_ref,           # f32[Hq, D]
@@ -84,75 +126,43 @@ def _kernel(
     num_kv_heads: int,
     sm_scale: float,
     kv_scale: float | None,
-    kv_mode: str,
     interpret: bool,
 ):
     step = pl.program_id(0)
     Tc = chunk * ps
     G = num_heads // num_kv_heads
-    rs = kv_mode in ("int8_rs", "int4_rs")
-
-    def issue(li: int, bank: int, cc):
-        """Start the page (+scale) DMAs of lane li's chunk cc into bank."""
-        lane = step * lanes + li
-        npages = jnp.clip(pl.cdiv(kv_lens_ref[lane], ps) - cc * chunk, 0, chunk)
-        for j in range(chunk):
-            @pl.when(j < npages)
-            def _():
-                pid = page_indices_ref[lane, cc * chunk + j]
-                pltpu.make_async_copy(
-                    pages_hbm.at[pid],
-                    kbuf.at[li, bank, pl.ds(j * ps, ps)],
-                    sems.at[li, bank, j]).start()
-                if rs:
-                    pltpu.make_async_copy(
-                        scales_hbm.at[pid],
-                        sbuf.at[li, bank, pl.ds(j * ps, ps)],
-                        sems_s.at[li, bank, j]).start()
-
-    def wait(li: int, bank: int, cc):
-        """Wait the DMAs issued by ``issue(li, bank, cc)`` — same predicate,
-        same static indices, so start/wait counts always match."""
-        lane = step * lanes + li
-        npages = jnp.clip(pl.cdiv(kv_lens_ref[lane], ps) - cc * chunk, 0, chunk)
-        for j in range(chunk):
-            @pl.when(j < npages)
-            def _():
-                pltpu.make_async_copy(
-                    pages_hbm.at[0],
-                    kbuf.at[li, bank, pl.ds(j * ps, ps)],
-                    sems.at[li, bank, j]).wait()
-                if rs:
-                    pltpu.make_async_copy(
-                        scales_hbm.at[0],
-                        sbuf.at[li, bank, pl.ds(j * ps, ps)],
-                        sems_s.at[li, bank, j]).wait()
+    issue, wait = _make_dma(kv_lens_ref, page_indices_ref, pages_hbm, None,
+                            kbuf, None, sems, None, ps=ps, chunk=chunk,
+                            lanes=lanes, with_scales=False)
 
     # prefetch every lane's first chunk before any compute
     for li in range(lanes):
-        issue(li, 0, 0)
+        issue(li, 0, 0, step)
 
     for li in range(lanes):                      # lanes compute sequentially
         lane = step * lanes + li
-        nch = pl.cdiv(kv_lens_ref[lane], Tc)
+        # every lane consumes >= 1 chunk (issue/wait balance for the
+        # unconditional prefetch); kv_len=0 lanes output zeros via l=0
+        nch = jnp.maximum(pl.cdiv(kv_lens_ref[lane], Tc), 1)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
         if kv_scale is not None:
             q = q * kv_scale
+        qb = q.astype(jnp.bfloat16)
 
-        def body(c, _, li=li, lane=lane, nch=nch, q=q):
+        def body(c, _, li=li, lane=lane, nch=nch, qb=qb):
             parity = jax.lax.rem(c, 2)
 
-            def consume(bank: int, c=c, li=li, lane=lane, nch=nch, q=q):
-                wait(li, bank, c)
+            def consume(bank: int, c=c, li=li, lane=lane, nch=nch, qb=qb):
+                wait(li, bank, c, step)
 
                 @pl.when(c + 1 < nch)
                 def _():
-                    issue(li, 1 - bank, c + 1)
+                    issue(li, 1 - bank, c + 1, step)
 
-                kv = kbuf[li, bank]                  # [Tc, 2Hk, Dp]
+                kv = kbuf[li, bank]                  # [Tc, 2Hk, D]
                 pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
                 valid = pos < kv_lens_ref[lane]      # [1, Tc]
                 if interpret:
@@ -160,28 +170,15 @@ def _kernel(
                     # kv_len were never DMA'd and would poison p @ v via
                     # 0 * NaN. On hardware stale VMEM rows are finite and
                     # the masked softmax zeroes their weights.
-                    Dp = kv.shape[-1]
                     pcol = c * Tc + jax.lax.broadcasted_iota(
-                        jnp.int32, (Tc, Dp), 0)
+                        jnp.int32, (Tc, kv.shape[-1]), 0)
                     kv = jnp.where((pcol < kv_lens_ref[lane])[:, None, :]
                                    .repeat(kv.shape[1], 1), kv,
                                    jnp.zeros_like(kv))
+                kvb = kv if kv.dtype == jnp.bfloat16 else kv.astype(jnp.bfloat16)
                 for h in range(num_kv_heads):
-                    k = kv[:, 2 * h, :]
-                    v = kv[:, 2 * h + 1, :]
-                    if kv_mode == "int4_rs":
-                        k = _unpack_int4(k)          # [Tc, D]
-                        v = _unpack_int4(v)
-                    k = k.astype(jnp.float32)
-                    v = v.astype(jnp.float32)
-                    if rs:
-                        sc_chunk = sbuf[li, bank]    # [Tc, 2Hk] bf16
-                        k = k * sc_chunk[:, 2 * h:2 * h + 1].astype(jnp.float32)
-                        v = v * sc_chunk[:, 2 * h + 1:2 * h + 2].astype(jnp.float32)
-                        if interpret:  # scale scratch is NaN-poisoned too
-                            k = jnp.where(valid[0][:, None], k, 0.0)
-                            v = jnp.where(valid[0][:, None], v, 0.0)
-                    qh = q[h * G:(h + 1) * G]        # [G, D]
+                    k, v = kvb[:, 2 * h, :], kvb[:, 2 * h + 1, :]
+                    qh = qb[h * G:(h + 1) * G]       # bf16 [G, D]
                     s = jax.lax.dot_general(
                         qh, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)   # [G, Tc]
@@ -195,7 +192,7 @@ def _kernel(
                     l_ref[r] = l_ref[r] * alpha + jnp.broadcast_to(
                         jnp.sum(p, axis=1, keepdims=True), alpha.shape)
                     pv = jax.lax.dot_general(
-                        p, v, (((1,), (0,)), ((), ())),
+                        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)   # [G, D]
                     if kv_scale is not None:
                         pv = pv * kv_scale   # V dequant (K's rode in with q)
@@ -216,36 +213,219 @@ def _kernel(
         o_ref[li] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_rs(
+    kv_lens_ref,       # i32[B]
+    page_indices_ref,  # i32[B, W]
+    q_ref,             # [LG, Hq, D]
+    pages_hbm,         # [P, ps, RW] FLAT page pool (RW = hdim * D)
+    scales_hbm,        # [P, ps, SW] bf16 per-row scales, K-first
+    o_ref,             # [LG, Hq, D]
+    kbuf,              # [LG, 2, CHUNK * ps, RW]
+    sbuf,              # [LG, 2, CHUNK * ps, SW] bf16
+    sems,              # DMA sems [LG, 2, CHUNK]
+    sems_s,            # DMA sems [LG, 2, CHUNK]
+    m_ref,             # f32[Hq, 128]
+    l_ref,             # f32[Hq, 128]
+    acc_ref,           # f32[Hq, D]
+    *,
+    ps: int,
+    chunk: int,
+    lanes: int,
+    num_heads: int,
+    num_kv_heads: int,
+    sm_scale: float,
+    packed_int4: bool,
+    interpret: bool,
+    debug: str,
+):
+    step = pl.program_id(0)
+    Tc = chunk * ps
+    Hq, Hk = num_heads, num_kv_heads
+    G = Hq // Hk
+    D = q_ref.shape[-1]
+    HkD = Hk * D
+    issue, wait = _make_dma(kv_lens_ref, page_indices_ref, pages_hbm,
+                            scales_hbm, kbuf, sbuf, sems, sems_s, ps=ps,
+                            chunk=chunk, lanes=lanes, with_scales=True)
+
+    # Block-diagonal selector: q row i pairs with kv head i // G.
+    # sel3 gates q_blk / pv extraction; E_k / E_v expand the [2Hk, Tc]
+    # transposed scale rows to [Hq, Tc] with one tiny matmul each.
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (Hq, Hk, D), 0)
+    khead = jax.lax.broadcasted_iota(jnp.int32, (Hq, Hk, D), 1)
+    sel3 = (khead == qrow // G).astype(jnp.float32)       # [Hq, Hk, D]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 0) // G
+    ci = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 1)
+    e_k = (ci == ri).astype(jnp.float32)                  # [Hq, 2Hk]
+    e_v = (ci == ri + Hk).astype(jnp.float32)
+
+    if debug != "compute":
+        for li in range(lanes):
+            issue(li, 0, 0, step)
+
+    for li in range(lanes):
+        lane = step * lanes + li
+        # every lane consumes >= 1 chunk (issue/wait balance for the
+        # unconditional prefetch); kv_len=0 lanes output zeros via l=0
+        nch = jnp.maximum(pl.cdiv(kv_lens_ref[lane], Tc), 1)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
+        q_blk = ((q[:, None, :] * sel3).reshape(Hq, HkD)
+                 .astype(jnp.bfloat16))                   # [Hq, Hk*D]
+
+        def body(c, _, li=li, lane=lane, nch=nch, q_blk=q_blk):
+            parity = jax.lax.rem(c, 2)
+
+            def consume(bank: int, c=c, li=li, lane=lane, nch=nch,
+                        q_blk=q_blk):
+                if debug != "compute":
+                    wait(li, bank, c, step)
+
+                    @pl.when(c + 1 < nch)
+                    def _():
+                        issue(li, 1 - bank, c + 1, step)
+                if debug == "dma":
+                    # touch the buffers so the copies stay live
+                    acc_ref[:] += kbuf[li, bank][:Hq, :D].astype(jnp.float32)
+                    acc_ref[:] += sbuf[li, bank][:Hq, :D].astype(jnp.float32)
+                    return
+
+                kv = kbuf[li, bank]                  # [Tc, RW] int8
+                pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
+                valid = pos < kv_lens_ref[lane]      # [1, Tc]
+                if interpret:  # zero NaN-poisoned rows past kv_len
+                    pcol = c * Tc + jax.lax.broadcasted_iota(
+                        jnp.int32, kv.shape, 0)
+                    kv = jnp.where(pcol < kv_lens_ref[lane], kv,
+                                   jnp.zeros_like(kv))
+                sc = sbuf[li, bank][:, :2 * Hk]      # [Tc, 2Hk] bf16 K-first
+                sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
+                if interpret:
+                    sc_t = jnp.where(valid, sc_t, 0.0)
+                sck = jax.lax.dot_general(            # [Hq, Tc] K row scales
+                    e_k, sc_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scv = jax.lax.dot_general(            # [Hq, Tc] V row scales
+                    e_v, sc_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if packed_int4:
+                    bf = kv.astype(jnp.float32)       # b = 16V + K, exact
+                    vb = jnp.floor((bf + 8.0) * 0.0625).astype(jnp.bfloat16)
+                    bb = bf.astype(jnp.bfloat16)      # |b| <= 119: exact
+                    s_b = jax.lax.dot_general(
+                        q_blk, bb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [Hq, Tc]
+                    s_v = jax.lax.dot_general(
+                        q_blk, vb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = (s_b - 16.0 * s_v) * sck      # q·K, dequantized
+                    v_flat = vb                       # [Tc, Hk*D]
+                else:
+                    kvb = kv.astype(jnp.bfloat16)     # |x| <= 127: exact
+                    k_flat = kvb[:, :HkD]             # K-first: lane slices
+                    v_flat = kvb[:, HkD:]
+                    s = jax.lax.dot_general(
+                        q_blk, k_flat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * sck
+                s = jnp.where(valid, s, _NEG_INF)     # [Hq, Tc]
+                m_old = m_ref[:]
+                s_max = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.exp(s - m_new[:, :1])         # [Hq, Tc]
+                l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
+                    jnp.sum(p, axis=1, keepdims=True), alpha.shape)
+                pbf = (p * scv).astype(jnp.bfloat16)  # V dequant rides on p
+                pv_all = jax.lax.dot_general(
+                    pbf, v_flat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # [Hq, Hk*D]
+                pv = jnp.sum(pv_all.reshape(Hq, Hk, D) * sel3, axis=1)
+                acc_ref[:] = acc_ref[:] * alpha + pv
+                m_ref[:] = m_new
+
+            @pl.when(parity == 0)
+            def _():
+                consume(0)
+
+            @pl.when(parity == 1)
+            def _():
+                consume(1)
+
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
+        o_ref[li] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_scale", "kv_mode",
                                              "chunk", "lanes_per_step",
-                                             "interpret"))
+                                             "interpret", "debug"))
 def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
                            sm_scale: float, kv_scale: float | None = None,
                            kv_scales=None, kv_mode: str = "dense",
                            chunk: int = 4, lanes_per_step: int = 8,
-                           interpret: bool = False):
+                           interpret: bool = False, debug: str = "full"):
     """q [B, Hq, D] (one token per lane) against paged KV.
 
-    kv_pages [P, ps, 2Hk, Dp] (K even / V odd combined heads; Dp = D/2 for
-    int4_rs); kv_lens i32[B] with 0 marking inactive lanes; page_indices
-    i32[B, W]; kv_scales [P, ps, 2Hk] bf16 for the _rs modes. Returns
+    kv_pages: [P, ps, 2Hk, D] interleaved (dense), or K-first [P, ps, 2Hk, D]
+    (int8_rs) / packed b=16V+K [P, ps, Hk, D] (int4_rs) — see
+    ops.attention.quantize_kv. kv_lens i32[B] with 0 marking inactive lanes;
+    page_indices i32[B, W]; kv_scales [P, ps, SW] bf16 lane-padded K-first
+    scales (ops.attention.kv_scale_width) for the _rs modes. Returns
     [B, Hq, D] in q's dtype. B must be a multiple of lanes_per_step (engine
     batch buckets are powers of two).
     """
+    from nanovllm_tpu.ops.attention import kv_scale_width
     B, Hq, D = q.shape
-    P, ps, Hk2, Dp = kv_pages.shape
-    Hk = Hk2 // 2
+    P, ps, hdim, Dp = kv_pages.shape
+    rs = kv_mode in ("int8_rs", "int4_rs")
+    Hk = hdim if kv_mode == "int4_rs" else hdim // 2
     assert D == 128, f"flash_decode_attention requires head_dim 128, got {D}"
     assert kv_mode in ("dense", "int8_rs", "int4_rs"), kv_mode
-    assert Dp == (D // 2 if kv_mode == "int4_rs" else D), (kv_mode, Dp)
+    assert Dp == D, (kv_mode, Dp)
     lanes = min(lanes_per_step, B)
     assert B % lanes == 0, (B, lanes)
-    if kv_mode == "dense":
-        # dummy scale pool: the DMA descriptors for it are never started
-        kv_scales = jnp.zeros((1, ps, Hk2), jnp.bfloat16)
-    else:
-        assert kv_scales is not None and kv_scales.shape == (P, ps, Hk2)
+    SW = kv_scale_width(2 * Hk)
+    out_shape = jax.ShapeDtypeStruct((B, Hq, D), q.dtype)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        # lanes x double-buffered chunk KV scratch exceeds the 16 MB default
+        # scoped-vmem limit; v5e has 128 MB VMEM, raise like the library
+        # ragged kernel does.
+        vmem_limit_bytes=100 * 2**20)
 
+    if not rs:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // lanes,),
+            in_specs=[
+                pl.BlockSpec((lanes, Hq, D), lambda s, *_: (s, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((lanes, Hq, D), lambda s, *_: (s, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, 2, chunk * ps, hdim, D), kv_pages.dtype),
+                pltpu.SemaphoreType.DMA((lanes, 2)),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, D), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_dense, ps=ps, chunk=chunk, lanes=lanes,
+                              num_heads=Hq, num_kv_heads=Hk,
+                              sm_scale=sm_scale, kv_scale=kv_scale,
+                              interpret=interpret),
+            grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(kv_lens, page_indices, q, kv_pages)
+
+    assert kv_scales is not None and kv_scales.shape == (P, ps, SW), \
+        (None if kv_scales is None else kv_scales.shape, (P, ps, SW))
+    RW = hdim * D
+    pages_flat = kv_pages.reshape(P, ps, RW)  # layout-preserving
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // lanes,),
@@ -256,23 +436,20 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
         ],
         out_specs=pl.BlockSpec((lanes, Hq, D), lambda s, *_: (s, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((lanes, 2, chunk * ps, Hk2, Dp), kv_pages.dtype),
-            pltpu.VMEM((lanes, 2, chunk * ps, Hk2), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((lanes, 2, chunk)),
-            pltpu.SemaphoreType.DMA((lanes, 2, chunk)),
+            pltpu.VMEM((lanes, 2, chunk * ps, RW), kv_pages.dtype),
+            pltpu.VMEM((lanes, 2, chunk * ps, SW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((lanes, 2)),
+            pltpu.SemaphoreType.DMA((lanes, 2)),
             pltpu.VMEM((Hq, 128), jnp.float32),
             pltpu.VMEM((Hq, 128), jnp.float32),
             pltpu.VMEM((Hq, D), jnp.float32),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, ps=ps, chunk=chunk, lanes=lanes,
+        functools.partial(_kernel_rs, ps=ps, chunk=chunk, lanes=lanes,
                           num_heads=Hq, num_kv_heads=Hk, sm_scale=sm_scale,
-                          kv_scale=kv_scale, kv_mode=kv_mode,
-                          interpret=interpret),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(kv_lens, page_indices, q, kv_pages, kv_scales)
+                          packed_int4=kv_mode == "int4_rs",
+                          interpret=interpret, debug=debug),
+        grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=cparams, interpret=interpret,
+    )(kv_lens, page_indices, q, pages_flat, kv_scales)

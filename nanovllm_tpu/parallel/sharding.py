@@ -111,8 +111,11 @@ class ShardingPlan:
         return NamedSharding(self.mesh, P(None, None, "model", None))
 
     def kv_scales_sharding(self) -> NamedSharding:
-        # row-scale sidecar [L*P, page_size, 2*Hk]: scales follow their heads
-        return NamedSharding(self.mesh, P(None, None, "model"))
+        # row-scale sidecar [L*P, page_size, SW]: the lane dim packs all
+        # heads into its first 2Hk lanes (ops.attention.kv_scale_width), so
+        # head-sharding it would misalign; replicate — the sidecar is ~3%
+        # of the page pool's bytes
+        return NamedSharding(self.mesh, P(None, None, None))
 
 
 def _flatten_with_paths(tree, prefix=""):

@@ -307,8 +307,12 @@ def test_rowscale_kv_engine_matches_bf16_greedy(tiny_checkpoint, engine,
     )
     pages, scales = llm.model_runner.kv_pages
     assert pages.dtype == jnp.int8 and scales.dtype == jnp.bfloat16
-    D = llm.config.hf_config.head_dim
-    assert pages.shape[-1] == (D // 2 if kv_dtype == "int4" else D)
+    hf = llm.config.hf_config
+    # int4 packs the K|V nibbles of a head pair per byte: half the head dim,
+    # full 128-lane minor dim (Mosaic DMA alignment)
+    assert pages.shape[-2:] == (
+        (hf.num_key_value_heads if kv_dtype == "int4"
+         else 2 * hf.num_key_value_heads), hf.head_dim)
     prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 13, 21)]
     sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
     outs = llm.generate(prompts, sp, use_tqdm=False)

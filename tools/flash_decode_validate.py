@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, ".")
 
+import nanovllm_tpu
+
+nanovllm_tpu.enable_persistent_jit_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,17 +48,27 @@ def make_batch(B, ctx, P, seed=1):
     return q, jnp.asarray(kv_lens), jnp.asarray(pi)
 
 
+_LIB_CACHE = {}
+
+
 def library_ref(q, pool, kv_lens, pi, kv_scale=None):
+    """Jitted + cached wrapper: cu/num live on device so the timing loop
+    isn't serialized by per-call H2D transfers (one RTT each on the tunnel)."""
+    import functools as ft
     from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
         ragged_paged_attention)
     B = q.shape[0]
-    cu = jnp.arange(B + 1, dtype=jnp.int32)
-    num = jnp.asarray([B], jnp.int32)
-    return ragged_paged_attention(
-        q, pool, kv_lens, pi, cu, num, sm_scale=0.0883,
-        k_scale=kv_scale, v_scale=kv_scale,
-        num_kv_pages_per_block=min(16, pi.shape[1]),
-        num_queries_per_block=8, vmem_limit_bytes=100 * 2**20)
+    key = (B, str(pool.dtype), pi.shape[1], kv_scale)
+    if key not in _LIB_CACHE:
+        fn = jax.jit(ft.partial(
+            ragged_paged_attention, sm_scale=0.0883,
+            k_scale=kv_scale, v_scale=kv_scale,
+            num_kv_pages_per_block=min(16, pi.shape[1]),
+            num_queries_per_block=8, vmem_limit_bytes=100 * 2**20))
+        _LIB_CACHE[key] = (fn, jnp.arange(B + 1, dtype=jnp.int32),
+                           jnp.asarray([B], jnp.int32))
+    fn, cu, num = _LIB_CACHE[key]
+    return fn(q, pool, kv_lens, pi, cu, num)
 
 
 def maxdiff(a, b):
@@ -102,90 +116,122 @@ def parity():
 
 
 def rowscale():
-    from nanovllm_tpu.ops.attention import quantize_kv, unpack_int4
+    from nanovllm_tpu.ops.attention import (quantize_kv, take_kv_scales,
+                                            unpack_int4)
     P = 256
     raw = jax.random.normal(jax.random.key(7), (P * PS, 2 * Hk, D), jnp.float32)
     for kind in ("int8_rs", "int4_rs"):
         stored, scales = quantize_kv(raw, (kind, None))
-        Dp = D // 2 if kind == "int4_rs" else D
-        pool = stored.reshape(P, PS, 2 * Hk, Dp)
-        spool = scales.reshape(P, PS, 2 * Hk)
+        rh = Hk if kind == "int4_rs" else 2 * Hk
+        pool = stored.reshape(P, PS, rh, D)
+        spool = scales.reshape(P, PS, -1)
         q, lens, pi = make_batch(B=32, ctx=256, P=P)
         say(f"rowscale[{kind}]: flash ...")
         out = flash(q, pool, lens, pi, kv_scales=spool, kv_mode=kind,
                     chunk=4, lanes_per_step=8)
         np.asarray(out[:1, :1, :1])
         # bf16 dequantized pool through the library kernel as oracle
+        # (rs pools are K-first; restripe to the library's interleave)
         unp = unpack_int4(stored) if kind == "int4_rs" else stored
-        deq = (unp.astype(jnp.float32) * scales.astype(jnp.float32)[..., None]
-               ).astype(jnp.bfloat16).reshape(P, PS, 2 * Hk, D)
+        sc = take_kv_scales(scales, 2 * Hk).astype(jnp.float32)
+        deq = (unp.astype(jnp.float32) * sc[..., None]).astype(jnp.bfloat16)
+        deq = jnp.stack([deq[:, :Hk], deq[:, Hk:]], axis=2).reshape(
+            -1, 2 * Hk, D).reshape(P, PS, 2 * Hk, D)
         ref = library_ref(q, deq, lens, pi)
         d = maxdiff(out, ref)
         say(f"rowscale[{kind}]: maxdiff vs dequant-library = {d:.5f} "
             f"{'OK' if d < 3e-2 else 'FAIL'}")
 
 
-def _time_attn(fn, n=20):
-    """Chained timing: data-dependent q so calls serialize; sync via tiny
-    readback; subtract probe RTT."""
-    t0 = time.perf_counter()
-    probe = jax.jit(lambda x: jnp.sum(x[:1, :1, :1]).astype(jnp.float32))
-    out = fn(None)
-    float(probe(out))
-    rtt_t = time.perf_counter()
-    float(probe(out))
-    rtt = time.perf_counter() - rtt_t
+def _probe_rtt():
+    f = jax.jit(lambda x: jnp.sum(x[:1, :1]).astype(jnp.float32))
+    x = jnp.ones((4, 128))
+    float(f(x))
+    t = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t
+
+
+def _timed(step, q0, n, rtt):
+    """attn_tune methodology: donated chained jitted step (out feeds the
+    next q), 1-element probe sync, RTT subtracted."""
+    state = step(jnp.asarray(q0))
+    float(jnp.sum(state.ravel()[:1]).astype(jnp.float32))
     t = time.perf_counter()
     for _ in range(n):
-        out = fn(out)
-    float(probe(out))
+        state = step(state)
+    float(jnp.sum(state.ravel()[:1]).astype(jnp.float32))
     return (time.perf_counter() - t - rtt) / n
 
 
-def sweep():
+# (16, 8) exceeds compile limits; sweep the rest
+_SWEEP_CFGS = [(4, 2), (4, 4), (4, 8), (8, 2), (8, 4), (8, 8), (16, 2), (16, 4)]
+
+
+def _sweep_case(mode):
+    """mode: 'int8' (dense pool, global scale) | 'int8_rs' | 'int4_rs'."""
+    import functools as ft
     from nanovllm_tpu.ops.attention import quantize_kv
     B, ctx = 256, 1024
     P = 4200
-    say(f"sweep: B={B} ctx={ctx} (decode bench shape)")
-    # int8 global-scale pool (current bench default)
-    pool8 = (make_pool(P, jnp.float32) / 0.0625).round().clip(-127, 127).astype(jnp.int8)
+    rtt = _probe_rtt()
+    say(f"sweep[{mode}]: B={B} ctx={ctx} (decode bench shape) "
+        f"RTT={rtt*1e3:.1f} ms")
     q, lens, pi = make_batch(B=B, ctx=ctx, P=P)
+    q0 = np.asarray(q)   # pristine host copy: q is donated away per chain
 
-    def lib_fn(prev):
-        qq = q if prev is None else q + prev.astype(q.dtype) * 0
-        return library_ref(qq, pool8, lens, pi, kv_scale=0.0625)
+    # library int8 baseline (the shipped engine decode path)
+    pool8 = (make_pool(P, jnp.float32) / 0.0625).round().clip(-127, 127).astype(jnp.int8)
 
-    t_lib = _time_attn(lib_fn)
-    say(f"sweep: library int8 (16,8): {t_lib*1e3:.3f} ms")
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def lib_step(qq, pool):
+        return (library_ref(qq, pool, lens, pi, kv_scale=0.0625)
+                * 1e-3).astype(qq.dtype)
 
-    for lanes in (4, 8, 16):
-        for chunk in (2, 4, 8):
-            def fn(prev, lanes=lanes, chunk=chunk):
-                qq = q if prev is None else q + prev.astype(q.dtype) * 0
-                return flash(qq, pool8, lens, pi, kv_scale=0.0625,
-                             chunk=chunk, lanes_per_step=lanes)
-            t = _time_attn(fn)
-            say(f"sweep: flash int8 lanes={lanes} chunk={chunk}: "
-                f"{t*1e3:.3f} ms ({t/t_lib:.2f}x library)")
+    t_lib = _timed(lambda qq: lib_step(qq, pool8), q0, 20, rtt)
+    say(f"sweep[{mode}]: library int8 (16,8): {t_lib*1e3:.3f} ms")
 
-    raw = jax.random.normal(jax.random.key(9), (P * PS, 2 * Hk, D), jnp.float32)
-    stored, scales = quantize_kv(raw, ("int4_rs", None))
-    pool4 = stored.reshape(P, PS, 2 * Hk, D // 2)
-    spool = scales.reshape(P, PS, 2 * Hk)
-    for lanes in (4, 8, 16):
-        for chunk in (2, 4, 8):
-            def fn(prev, lanes=lanes, chunk=chunk):
-                qq = q if prev is None else q + prev.astype(q.dtype) * 0
-                return flash(qq, pool4, lens, pi, kv_scales=spool,
-                             kv_mode="int4_rs", chunk=chunk,
-                             lanes_per_step=lanes)
-            t = _time_attn(fn)
-            say(f"sweep: flash int4_rs lanes={lanes} chunk={chunk}: "
-                f"{t*1e3:.3f} ms ({t/t_lib:.2f}x library-int8)")
+    if mode == "int8":
+        pool, spool, kw = pool8, None, {"kv_scale": 0.0625}
+    else:
+        raw = jax.random.normal(jax.random.key(9), (P * PS, 2 * Hk, D),
+                                jnp.float32)
+        stored, scales = quantize_kv(raw, (mode, None))
+        rh = Hk if mode == "int4_rs" else 2 * Hk
+        pool = stored.reshape(P, PS, rh, D)
+        spool = scales.reshape(P, PS, -1)
+        kw = {"kv_mode": mode}
+
+    for lanes, chunk in _SWEEP_CFGS:
+        @ft.partial(jax.jit, donate_argnums=(0,))
+        def fstep(qq, pool, sp, lanes=lanes, chunk=chunk):
+            return (flash(qq, pool, lens, pi, kv_scales=sp,
+                          chunk=chunk, lanes_per_step=lanes, **kw)
+                    * 1e-3).astype(qq.dtype)
+        try:
+            t = _timed(lambda qq: fstep(qq, pool, spool), q0, 20, rtt)
+        except Exception as e:  # noqa: BLE001 - sweep survives bad configs
+            say(f"sweep[{mode}]: lanes={lanes} chunk={chunk}: FAIL "
+                f"{type(e).__name__}: {str(e).splitlines()[0][:90]}")
+            continue
+        say(f"sweep[{mode}]: flash lanes={lanes} chunk={chunk}: "
+            f"{t*1e3:.3f} ms ({t/t_lib:.2f}x library-int8)")
+
+
+def sweep():
+    _sweep_case("int8")
+
+
+def sweep_rs():
+    _sweep_case("int8_rs")
+
+
+def sweep4():
+    _sweep_case("int4_rs")
 
 
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "smoke"
     say(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     {"smoke": smoke, "parity": parity, "rowscale": rowscale,
-     "sweep": sweep}[stage]()
+     "sweep": sweep, "sweep_rs": sweep_rs, "sweep4": sweep4}[stage]()
