@@ -36,6 +36,12 @@ class ModelConfig:
     head_dim: int = 128
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1000000.0
+    # HF rope_scaling dict ({"rope_type"|"type": ..., "factor": ...}) or None.
+    # "linear" is implemented (positions / factor); anything else fails
+    # loudly at config time. The reference plumbs the field and asserts it is
+    # None (reference: nanovllm/layers/rotary_embedding.py:57-59) — silently
+    # ignoring it would produce wrong logits on long-context checkpoints.
+    rope_scaling: dict | None = None
     max_position_embeddings: int = 40960
     tie_word_embeddings: bool = True
     attention_bias: bool = False
@@ -57,6 +63,26 @@ class ModelConfig:
         if "head_dim" not in raw:
             cfg.head_dim = cfg.hidden_size // cfg.num_attention_heads
         return cfg
+
+
+def rope_scaling_factor(cfg: ModelConfig) -> float:
+    """Resolve rope_scaling to a linear position divisor, or raise.
+
+    The reference hard-rejects any rope_scaling (rotary_embedding.py:57-59);
+    we support the "linear" type (ops.layers.rope_cos_sin divides positions
+    by the factor) and reject NTK/yarn/llama3 variants loudly rather than
+    loading a long-context checkpoint into silently-wrong logits."""
+    rs = cfg.rope_scaling
+    if rs is None:
+        return 1.0
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind == "linear":
+        factor = float(rs.get("factor", 1.0))
+        assert factor >= 1.0, rs
+        return factor
+    raise ValueError(
+        f"unsupported rope_scaling {rs!r}: only type 'linear' is implemented "
+        f"(the reference rejects all scaling)")
 
 
 # Known architectures; extended by the model registry (models/__init__.py).
@@ -182,6 +208,7 @@ class Config:
             self.hf_config = ModelConfig.from_json(cfg_path)
         arch = self.hf_config.architectures[0]
         assert arch in SUPPORTED_ARCHITECTURES, f"unsupported architecture {arch}"
+        rope_scaling_factor(self.hf_config)  # fail loudly on unsupported types
         self.max_model_len = min(self.max_model_len, self.hf_config.max_position_embeddings)
         assert self.max_num_batched_tokens >= self.max_model_len
         if self.eos == -1:
@@ -197,6 +224,27 @@ class Config:
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"
+        if self.attention_impl not in ("ragged", "xla", "flash"):
+            raise ValueError(
+                f"attention_impl must be one of 'auto', 'ragged', 'xla', "
+                f"'flash'; got {self.attention_impl!r}")
+        if self.kv_cache_dtype in ("int8_rs", "int4"):
+            # rs pools decode through the flash-decode kernel, which requires
+            # head_dim 128 (flash_decode.py asserts it at dispatch; fail at
+            # config time instead). The XLA oracle path (tests) is generic.
+            if self.attention_impl != "xla" and self.hf_config.head_dim != 128:
+                raise ValueError(
+                    f"kv_cache_dtype={self.kv_cache_dtype!r} requires "
+                    f"head_dim 128 (flash-decode kernel), got "
+                    f"{self.hf_config.head_dim}")
+            if self.tensor_parallel_size != 1:
+                # rs pools are K-first ([0:Hk]=K, [Hk:]=V): sharding the
+                # combined-head axis would split matching K/V pairs across
+                # devices and break the kernel's contiguous K/V lane slices.
+                raise ValueError(
+                    f"kv_cache_dtype={self.kv_cache_dtype!r} does not "
+                    f"compose with tensor_parallel_size="
+                    f"{self.tensor_parallel_size} yet (K-first pool layout)")
         if self.kv_cache_dtype in ("int8_rs", "int4") and self.prefill_page_cap <= 0:
             ps = self.kvcache_block_size
             self.prefill_page_cap = (self.max_num_batched_tokens // ps

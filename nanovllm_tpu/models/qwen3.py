@@ -66,14 +66,18 @@ class Qwen3StaticConfig(NamedTuple):
     attn_blocks_decode: tuple | None = None
     # quantized KV storage: ("int8"|"fp8", dequant_scale) or None = model dtype
     kv_quant: tuple | None = None
+    # linear rope scaling divisor (config.rope_scaling_factor; 1.0 = none)
+    rope_scaling_factor: float = 1.0
 
     @staticmethod
     def from_model_config(cfg: ModelConfig, *, page_size=64, pages_per_layer=0,
                           attention_impl="xla", store_interpret=False,
                           quant_cfg=None, attn_blocks_prefill=None,
                           attn_blocks_decode=None, kv_quant=None):
+        from nanovllm_tpu.config import rope_scaling_factor
         arch = cfg.architectures[0]
         return Qwen3StaticConfig(
+            rope_scaling_factor=rope_scaling_factor(cfg),
             num_layers=cfg.num_hidden_layers,
             num_heads=cfg.num_attention_heads,
             num_kv_heads=cfg.num_key_value_heads,
@@ -143,7 +147,8 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
         # Per-head RMSNorm on q/k before RoPE (reference: qwen3.py:71-87)
         q = rms_norm(q, layer_p["q_norm"], sc.rms_norm_eps)
         k = rms_norm(k, layer_p["k_norm"], sc.rms_norm_eps)
-    cos, sin = rope_cos_sin(meta.positions, D, sc.rope_theta)
+    cos, sin = rope_cos_sin(meta.positions, D, sc.rope_theta,
+                            scaling_factor=sc.rope_scaling_factor)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

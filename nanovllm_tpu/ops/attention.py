@@ -246,7 +246,9 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
         raise NotImplementedError(
             "row-scale KV prefill requires the scratch-dequant path "
             "(attention_impl='xla' covers tests)")
-    if impl == "ragged":
+    # "flash" = in-house flash decode + library ragged prefill; prefill must
+    # NEVER fall through to the O(T*B*W*ps)-memory XLA oracle on TPU.
+    if impl in ("ragged", "flash"):
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
         bkv, bq = blocks if blocks is not None else (None, None)

@@ -35,14 +35,20 @@ def add_rms_norm(x, residual, weight, eps: float = 1e-6):
     return rms_norm(residual, weight, eps), residual
 
 
-def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32):
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32,
+                 scaling_factor: float = 1.0):
     """cos/sin tables for the given positions, half-split (non-interleaved) layout
     (reference: nanovllm/layers/rotary_embedding.py:18-35 precomputes a
     [max_pos, head_dim] cache; on TPU we compute on the fly — an outer product
-    plus transcendentals fuses away, and avoids a 40k-row gather)."""
+    plus transcendentals fuses away, and avoids a 40k-row gather).
+    ``scaling_factor`` > 1 is linear rope scaling: positions are divided by it
+    (config.rope_scaling_factor; the reference rejects all scaling)."""
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
+    pos = positions.astype(jnp.float32)
+    if scaling_factor != 1.0:
+        pos = pos * (1.0 / scaling_factor)
+    freqs = pos[:, None] * inv_freq[None, :]  # [T, half]
     return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
 
 

@@ -39,16 +39,21 @@ score matrices and still measured ~3 ms):
   and every ``start`` is guarded by *exactly* the same predicate as its
   ``wait`` — issue/wait counts match by construction, the deadlock class
   v1's loop-carried dynamic semaphore indices invited cannot occur.
-- **Whole-tile compute** (v3, the rs path): v2's per-kv-head loop issued
-  ~190 small VPU/MXU ops per chunk ([G=2, Tc] matmuls and updates) whose
-  issue overhead dominated the kernel. v3 runs ONE block-diagonal QK matmul
-  ``q_blk [Hq, Hk*D] @ k_flat^T`` and ONE PV matmul per chunk (the 8x MXU
-  redundancy is ~85 ns/chunk — irrelevant next to op overhead), with
-  row-scale dequant applied to the [Hq, Tc] score/probability matrices via
-  two tiny selection matmuls. The pool rides flat ([P, ps, hdim*D]) so K/V
-  are contiguous lane slices — no in-kernel reshapes of streamed data.
-  int8→bf16 converts are exact (values <= 127), so the only numeric loss vs
-  an f32 oracle is bf16 matmul rounding of q.
+- **Whole-tile compute** (v3, now ALL modes share one kernel body): v2's
+  per-kv-head loop issued ~190 small VPU/MXU ops per chunk ([G=2, Tc]
+  matmuls and updates) whose issue overhead dominated the kernel. v3 runs
+  ONE block-diagonal QK matmul ``q_blk [Hq, nslots*D] @ kv_flat^T`` and ONE
+  PV matmul per chunk (the MXU redundancy of the zero blocks is ~0.1
+  us/chunk — irrelevant next to op overhead, and far under the chunk's DMA
+  floor), with per-row-scale dequant applied to the [Hq, Tc]
+  score/probability matrices via two tiny selection matmuls. The pool rides
+  flat ([P, ps, nslots*D]) so head slots are contiguous lane slices — no
+  in-kernel reshapes of streamed data. The interleaved dense layout and the
+  K-first rs layouts differ only in the static selector matrices (K at even
+  slots vs the first Hk slots). int8→bf16 converts are exact (values <=
+  127); q and p are cast to bf16 for MXU-rate matmuls even on bf16 pools —
+  the accepted error vs an f32 oracle is bf16 rounding of q/p (observed
+  max|Δ| ~5e-3 at B=64/ctx=512; tests gate at 1e-2).
 """
 
 import functools
@@ -107,14 +112,17 @@ def _make_dma(kv_lens_ref, page_indices_ref, pages_hbm, scales_hbm, kbuf,
     return issue, wait
 
 
-def _kernel_dense(
+def _kernel(
     kv_lens_ref,       # i32[B] context length per lane (0 = skip lane)
     page_indices_ref,  # i32[B, W]
     q_ref,             # [LG, Hq, D] this group's queries
-    pages_hbm,         # [P, ps, 2Hk, D] page pool (ANY/HBM), interleaved
+    pages_hbm,         # [P, ps, RW] FLAT page pool (ANY/HBM), RW = nslots*D
+    scales_hbm,        # [P, ps, SW] bf16 per-row scales K-first, or None
     o_ref,             # [LG, Hq, D]
-    kbuf,              # [LG, 2, CHUNK * ps, 2Hk, D] per-lane double buffers
-    sems,              # DMA sems [LG, 2, CHUNK]
+    kbuf,              # [LG, 2, CHUNK * ps, RW] per-lane double buffers
+    sbuf,              # [LG, 2, CHUNK * ps, SW] bf16, or None
+    sems,              # DMA sems [LG, 2] (shared per lane/bank)
+    sems_s,            # DMA sems [LG, 2] (shared per lane/bank), or None
     m_ref,             # f32[Hq, 128] running max (lane-replicated)
     l_ref,             # f32[Hq, 128] running denom
     acc_ref,           # f32[Hq, D]
@@ -126,115 +134,7 @@ def _kernel_dense(
     num_kv_heads: int,
     sm_scale: float,
     kv_scale: float | None,
-    interpret: bool,
-):
-    step = pl.program_id(0)
-    Tc = chunk * ps
-    G = num_heads // num_kv_heads
-    issue, wait = _make_dma(kv_lens_ref, page_indices_ref, pages_hbm, None,
-                            kbuf, None, sems, None, ps=ps, chunk=chunk,
-                            lanes=lanes, with_scales=False)
-
-    # prefetch every lane's first chunk before any compute
-    for li in range(lanes):
-        issue(li, 0, 0, step)
-
-    for li in range(lanes):                      # lanes compute sequentially
-        lane = step * lanes + li
-        # every lane consumes >= 1 chunk (issue/wait balance for the
-        # unconditional prefetch); kv_len=0 lanes output zeros via l=0
-        nch = jnp.maximum(pl.cdiv(kv_lens_ref[lane], Tc), 1)
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
-        if kv_scale is not None:
-            q = q * kv_scale
-        qb = q.astype(jnp.bfloat16)
-
-        def body(c, _, li=li, lane=lane, nch=nch, qb=qb):
-            parity = jax.lax.rem(c, 2)
-
-            def consume(bank: int, c=c, li=li, lane=lane, nch=nch, qb=qb):
-                wait(li, bank, c, step)
-
-                @pl.when(c + 1 < nch)
-                def _():
-                    issue(li, 1 - bank, c + 1, step)
-
-                kv = kbuf[li, bank]                  # [Tc, 2Hk, D]
-                pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
-                valid = pos < kv_lens_ref[lane]      # [1, Tc]
-                if interpret:
-                    # interpret-mode scratch is NaN-initialized; rows past
-                    # kv_len were never DMA'd and would poison p @ v via
-                    # 0 * NaN. On hardware stale VMEM rows are finite and
-                    # the masked softmax zeroes their weights.
-                    pcol = c * Tc + jax.lax.broadcasted_iota(
-                        jnp.int32, (Tc, kv.shape[-1]), 0)
-                    kv = jnp.where((pcol < kv_lens_ref[lane])[:, None, :]
-                                   .repeat(kv.shape[1], 1), kv,
-                                   jnp.zeros_like(kv))
-                kvb = kv if kv.dtype == jnp.bfloat16 else kv.astype(jnp.bfloat16)
-                for h in range(num_kv_heads):
-                    k, v = kvb[:, 2 * h, :], kvb[:, 2 * h + 1, :]
-                    qh = qb[h * G:(h + 1) * G]       # bf16 [G, D]
-                    s = jax.lax.dot_general(
-                        qh, k, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [G, Tc]
-                    s = jnp.where(valid, s, _NEG_INF)
-                    r = slice(h * G, (h + 1) * G)
-                    m_old = m_ref[r]                 # [G, 128] lane-replicated
-                    s_max = jnp.max(s, axis=1, keepdims=True)
-                    m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
-                    alpha = jnp.exp(m_old - m_new)
-                    p = jnp.exp(s - m_new[:, :1])    # [G, Tc]
-                    l_ref[r] = l_ref[r] * alpha + jnp.broadcast_to(
-                        jnp.sum(p, axis=1, keepdims=True), alpha.shape)
-                    pv = jax.lax.dot_general(
-                        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [G, D]
-                    if kv_scale is not None:
-                        pv = pv * kv_scale   # V dequant (K's rode in with q)
-                    acc_ref[r] = acc_ref[r] * alpha + pv
-                    m_ref[r] = m_new
-
-            @pl.when(parity == 0)
-            def _():
-                consume(0)
-
-            @pl.when(parity == 1)
-            def _():
-                consume(1)
-
-            return 0
-
-        jax.lax.fori_loop(0, nch, body, 0)
-        o_ref[li] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
-
-
-def _kernel_rs(
-    kv_lens_ref,       # i32[B]
-    page_indices_ref,  # i32[B, W]
-    q_ref,             # [LG, Hq, D]
-    pages_hbm,         # [P, ps, RW] FLAT page pool (RW = hdim * D)
-    scales_hbm,        # [P, ps, SW] bf16 per-row scales, K-first
-    o_ref,             # [LG, Hq, D]
-    kbuf,              # [LG, 2, CHUNK * ps, RW]
-    sbuf,              # [LG, 2, CHUNK * ps, SW] bf16
-    sems,              # DMA sems [LG, 2, CHUNK]
-    sems_s,            # DMA sems [LG, 2, CHUNK]
-    m_ref,             # f32[Hq, 128]
-    l_ref,             # f32[Hq, 128]
-    acc_ref,           # f32[Hq, D]
-    *,
-    ps: int,
-    chunk: int,
-    lanes: int,
-    num_heads: int,
-    num_kv_heads: int,
-    sm_scale: float,
-    packed_int4: bool,
+    mode: str,         # dense | int8_rs | int4_rs
     interpret: bool,
     debug: str,
 ):
@@ -243,37 +143,57 @@ def _kernel_rs(
     Hq, Hk = num_heads, num_kv_heads
     G = Hq // Hk
     D = q_ref.shape[-1]
-    HkD = Hk * D
+    with_scales = mode in ("int8_rs", "int4_rs")
+    packed_int4 = mode == "int4_rs"
+    nslots = Hk if packed_int4 else 2 * Hk    # head slots per stored row
     issue, wait = _make_dma(kv_lens_ref, page_indices_ref, pages_hbm,
                             scales_hbm, kbuf, sbuf, sems, sems_s, ps=ps,
-                            chunk=chunk, lanes=lanes, with_scales=True)
+                            chunk=chunk, lanes=lanes,
+                            with_scales=with_scales)
 
-    # Block-diagonal selector: q row i pairs with kv head i // G.
-    # sel3 gates q_blk / pv extraction; E_k / E_v expand the [2Hk, Tc]
-    # transposed scale rows to [Hq, Tc] with one tiny matmul each.
-    qrow = jax.lax.broadcasted_iota(jnp.int32, (Hq, Hk, D), 0)
-    khead = jax.lax.broadcasted_iota(jnp.int32, (Hq, Hk, D), 1)
-    sel3 = (khead == qrow // G).astype(jnp.float32)       # [Hq, Hk, D]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 0) // G
-    ci = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 1)
-    e_k = (ci == ri).astype(jnp.float32)                  # [Hq, 2Hk]
-    e_v = (ci == ri + Hk).astype(jnp.float32)
+    # Static selectors: q row i attends kv head h = i // G. Stored layouts
+    # differ only in which slot holds that head's K and V:
+    #   dense    (interleaved): K at slot 2h, V at slot 2h + 1
+    #   int8_rs  (K-first)    : K at slot h,  V at slot h + Hk
+    #   int4_rs  (packed)     : K and V nibbles both at slot h
+    qrow3 = jax.lax.broadcasted_iota(jnp.int32, (Hq, nslots, D), 0)
+    slot3 = jax.lax.broadcasted_iota(jnp.int32, (Hq, nslots, D), 1)
+    h3 = qrow3 // G
+    if mode == "dense":
+        k_slot3, v_slot3 = 2 * h3, 2 * h3 + 1
+    elif mode == "int8_rs":
+        k_slot3, v_slot3 = h3, h3 + Hk
+    else:
+        k_slot3 = v_slot3 = h3
+    sel_k3 = (slot3 == k_slot3).astype(jnp.float32)       # gates q_blk
+    sel_v3 = (slot3 == v_slot3).astype(jnp.float32)       # gates pv extract
+    if with_scales:
+        # E_k / E_v expand the [2Hk, Tc] transposed scale rows (always
+        # K-first in the sidecar) to [Hq, Tc] with one tiny matmul each.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 0) // G
+        ci = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 1)
+        e_k = (ci == ri).astype(jnp.float32)              # [Hq, 2Hk]
+        e_v = (ci == ri + Hk).astype(jnp.float32)
 
     if debug != "compute":
+        # prefetch every lane's first chunk before any compute
         for li in range(lanes):
             issue(li, 0, 0, step)
 
-    for li in range(lanes):
+    for li in range(lanes):                      # lanes compute sequentially
         lane = step * lanes + li
         # every lane consumes >= 1 chunk (issue/wait balance for the
-        # unconditional prefetch); kv_len=0 lanes output zeros via l=0
+        # unconditional prefetch); kv_len=0 lanes output zeros because every
+        # position is invalid -> p zeroed -> l stays 0
         nch = jnp.maximum(pl.cdiv(kv_lens_ref[lane], Tc), 1)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
-        q_blk = ((q[:, None, :] * sel3).reshape(Hq, HkD)
-                 .astype(jnp.bfloat16))                   # [Hq, Hk*D]
+        if kv_scale is not None:
+            q = q * kv_scale                  # K dequant rides in with q
+        q_blk = ((q[:, None, :] * sel_k3).reshape(Hq, nslots * D)
+                 .astype(jnp.bfloat16))                   # [Hq, nslots*D]
 
         def body(c, _, li=li, lane=lane, nch=nch, q_blk=q_blk):
             parity = jax.lax.rem(c, 2)
@@ -289,27 +209,33 @@ def _kernel_rs(
                 if debug == "dma":
                     # touch the buffers so the copies stay live
                     acc_ref[:] += kbuf[li, bank][:Hq, :D].astype(jnp.float32)
-                    acc_ref[:] += sbuf[li, bank][:Hq, :D].astype(jnp.float32)
+                    if with_scales:
+                        acc_ref[:] += sbuf[li, bank][:Hq, :D].astype(jnp.float32)
                     return
 
-                kv = kbuf[li, bank]                  # [Tc, RW] int8
+                kv = kbuf[li, bank]                  # [Tc, RW]
                 pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
                 valid = pos < kv_lens_ref[lane]      # [1, Tc]
-                if interpret:  # zero NaN-poisoned rows past kv_len
+                if interpret:
+                    # interpret-mode scratch is NaN-initialized; rows past
+                    # kv_len were never DMA'd and would poison p @ v via
+                    # 0 * NaN. On hardware stale VMEM rows are finite and
+                    # the masked softmax zeroes their weights.
                     pcol = c * Tc + jax.lax.broadcasted_iota(
                         jnp.int32, kv.shape, 0)
                     kv = jnp.where(pcol < kv_lens_ref[lane], kv,
                                    jnp.zeros_like(kv))
-                sc = sbuf[li, bank][:, :2 * Hk]      # [Tc, 2Hk] bf16 K-first
-                sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
-                if interpret:
-                    sc_t = jnp.where(valid, sc_t, 0.0)
-                sck = jax.lax.dot_general(            # [Hq, Tc] K row scales
-                    e_k, sc_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                scv = jax.lax.dot_general(            # [Hq, Tc] V row scales
-                    e_v, sc_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if with_scales:
+                    sc = sbuf[li, bank][:, :2 * Hk]  # [Tc, 2Hk] bf16 K-first
+                    sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
+                    if interpret:
+                        sc_t = jnp.where(valid, sc_t, 0.0)
+                    sck = jax.lax.dot_general(        # [Hq, Tc] K row scales
+                        e_k, sc_t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    scv = jax.lax.dot_general(        # [Hq, Tc] V row scales
+                        e_v, sc_t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 if packed_int4:
                     bf = kv.astype(jnp.float32)       # b = 16V + K, exact
                     vb = jnp.floor((bf + 8.0) * 0.0625).astype(jnp.bfloat16)
@@ -321,27 +247,41 @@ def _kernel_rs(
                         q_blk, vb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     s = (s_b - 16.0 * s_v) * sck      # q·K, dequantized
-                    v_flat = vb                       # [Tc, Hk*D]
+                    pv_src = vb                       # [Tc, Hk*D]
                 else:
-                    kvb = kv.astype(jnp.bfloat16)     # |x| <= 127: exact
-                    k_flat = kvb[:, :HkD]             # K-first: lane slices
-                    v_flat = kvb[:, HkD:]
+                    kvb = (kv if kv.dtype == jnp.bfloat16
+                           else kv.astype(jnp.bfloat16))
+                    # q_blk is zero at V slots, so one whole-row matmul
+                    # yields q·K directly (the V lanes contribute nothing)
                     s = jax.lax.dot_general(
-                        q_blk, k_flat, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * sck
+                        q_blk, kvb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [Hq, Tc]
+                    if with_scales:
+                        s = s * sck
+                    pv_src = kvb                      # [Tc, nslots*D]
                 s = jnp.where(valid, s, _NEG_INF)     # [Hq, Tc]
                 m_old = m_ref[:]
                 s_max = jnp.max(s, axis=1, keepdims=True)
                 m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
                 alpha = jnp.exp(m_old - m_new)
-                p = jnp.exp(s - m_new[:, :1])         # [Hq, Tc]
+                # explicit zero for invalid positions: when every position
+                # so far is invalid (kv_len=0 lanes), s == m_new == -inf and
+                # exp(s - m_new) = 1 would accumulate clamped page-0 data
+                # with l = Tc instead of staying 0.
+                p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)
                 l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
                     jnp.sum(p, axis=1, keepdims=True), alpha.shape)
-                pbf = (p * scv).astype(jnp.bfloat16)  # V dequant rides on p
+                # V row-scale dequant rides on p (it varies along Tc, so it
+                # must multiply before the contraction)
+                pbf = ((p * scv) if with_scales else p).astype(jnp.bfloat16)
                 pv_all = jax.lax.dot_general(
-                    pbf, v_flat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # [Hq, Hk*D]
-                pv = jnp.sum(pv_all.reshape(Hq, Hk, D) * sel3, axis=1)
+                    pbf, pv_src, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [Hq, nslots'*D]
+                ns = pv_all.shape[1] // D
+                pv = jnp.sum(pv_all.reshape(Hq, ns, D) * sel_v3[:, :ns],
+                             axis=1)
+                if kv_scale is not None:
+                    pv = pv * kv_scale   # V dequant (K's rode in with q)
                 acc_ref[:] = acc_ref[:] * alpha + pv
                 m_ref[:] = m_new
 
@@ -357,6 +297,13 @@ def _kernel_rs(
 
         jax.lax.fori_loop(0, nch, body, 0)
         o_ref[li] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _kernel_dense_entry(kv_lens_ref, page_indices_ref, q_ref, pages_hbm,
+                        o_ref, kbuf, sems, m_ref, l_ref, acc_ref, **kw):
+    """Signature adapter: the dense pool has no scale sidecar operands."""
+    _kernel(kv_lens_ref, page_indices_ref, q_ref, pages_hbm, None, o_ref,
+            kbuf, None, sems, None, m_ref, l_ref, acc_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_scale", "kv_mode",
@@ -395,6 +342,11 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
         # scoped-vmem limit; v5e has 128 MB VMEM, raise like the library
         # ragged kernel does.
         vmem_limit_bytes=100 * 2**20)
+    RW = hdim * D
+    pages_flat = kv_pages.reshape(P, ps, RW)  # layout-preserving
+    kw = dict(ps=ps, chunk=chunk, lanes=lanes, num_heads=Hq,
+              num_kv_heads=Hk, sm_scale=sm_scale, kv_scale=kv_scale,
+              mode=kv_mode, interpret=interpret, debug=debug)
 
     if not rs:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -406,7 +358,7 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
             ],
             out_specs=pl.BlockSpec((lanes, Hq, D), lambda s, *_: (s, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((lanes, 2, chunk * ps, hdim, D), kv_pages.dtype),
+                pltpu.VMEM((lanes, 2, chunk * ps, RW), kv_pages.dtype),
                 pltpu.SemaphoreType.DMA((lanes, 2)),
                 pltpu.VMEM((Hq, 128), jnp.float32),
                 pltpu.VMEM((Hq, 128), jnp.float32),
@@ -414,18 +366,14 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
             ],
         )
         return pl.pallas_call(
-            functools.partial(_kernel_dense, ps=ps, chunk=chunk, lanes=lanes,
-                              num_heads=Hq, num_kv_heads=Hk,
-                              sm_scale=sm_scale, kv_scale=kv_scale,
-                              interpret=interpret),
+            functools.partial(_kernel_dense_entry, **kw),
             grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=cparams, interpret=interpret,
-        )(kv_lens, page_indices, q, kv_pages)
+        )(kv_lens, page_indices, q, pages_flat)
 
+    assert kv_scale is None, "rs modes carry per-row scales, not a global one"
     assert kv_scales is not None and kv_scales.shape == (P, ps, SW), \
         (None if kv_scales is None else kv_scales.shape, (P, ps, SW))
-    RW = hdim * D
-    pages_flat = kv_pages.reshape(P, ps, RW)  # layout-preserving
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // lanes,),
@@ -446,10 +394,7 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel_rs, ps=ps, chunk=chunk, lanes=lanes,
-                          num_heads=Hq, num_kv_heads=Hk, sm_scale=sm_scale,
-                          packed_int4=kv_mode == "int4_rs",
-                          interpret=interpret, debug=debug),
+        functools.partial(_kernel, **kw),
         grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=cparams, interpret=interpret,
     )(kv_lens, page_indices, q, pages_flat, kv_scales)

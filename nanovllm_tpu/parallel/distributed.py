@@ -105,8 +105,23 @@ PLAN_DONE = 2   # end of a generate(): payload = pickled outputs
 PLAN_SYNC = 3   # init-time handshake: ints = config fingerprint
 
 # Padded payload sizes so each broadcast shape compiles once. The largest
-# covers a max prefill buffer (3*16384 i32) plus the fixed sections.
+# covers a max prefill buffer (3*16384 i32) plus the fixed sections; payloads
+# beyond the largest bucket (e.g. PLAN_DONE outputs of a huge batch) are
+# chunked at the largest bucket size — no silent cap.
 _PAYLOAD_BUCKETS = (1 << 12, 1 << 15, 1 << 18, 1 << 21, 1 << 24)
+
+
+def _payload_chunks(total: int) -> list[int]:
+    """Chunk sizes whose broadcasts cover ``total`` payload bytes: one bucket
+    when it fits, else max-bucket chunks plus a bucketed tail. Both ends of
+    the channel derive the identical split from the header length alone."""
+    top = _PAYLOAD_BUCKETS[-1]
+    sizes = []
+    while total > top:
+        sizes.append(top)
+        total -= top
+    sizes.append(next(b for b in _PAYLOAD_BUCKETS if b >= total))
+    return sizes
 
 
 class PlanChannel:
@@ -138,10 +153,13 @@ class PlanChannel:
         header[2:2 + len(ints)] = ints
         self._bcast(header)
         if payload:
-            bucket = next(b for b in _PAYLOAD_BUCKETS if b >= len(payload))
-            buf = np.zeros(bucket, np.uint8)
-            buf[:len(payload)] = np.frombuffer(payload, np.uint8)
-            self._bcast(buf)
+            off = 0
+            for bucket in _payload_chunks(len(payload)):
+                part = payload[off:off + bucket]
+                buf = np.zeros(bucket, np.uint8)
+                buf[:len(part)] = np.frombuffer(part, np.uint8)
+                self._bcast(buf)
+                off += bucket
 
     def recv(self) -> tuple[int, tuple, bytes]:
         assert not self.is_source, "the controller does not recv plans"
@@ -150,6 +168,7 @@ class PlanChannel:
         ints = tuple(int(x) for x in header[2:8])
         payload = b""
         if plen:
-            bucket = next(b for b in _PAYLOAD_BUCKETS if b >= plen)
-            payload = self._bcast(np.zeros(bucket, np.uint8))[:plen].tobytes()
+            parts = [self._bcast(np.zeros(bucket, np.uint8)).tobytes()
+                     for bucket in _payload_chunks(plen)]
+            payload = b"".join(parts)[:plen]
         return kind, ints, payload
