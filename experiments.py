@@ -13,59 +13,55 @@ without the torch dependency)."""
 
 import argparse
 import json
+import os
 import random
 import time
 from datetime import datetime
 from functools import partial
 from pathlib import Path
 
+# The experiment grid is keyed by these config fields: one JSONL row per
+# unique combination, re-running a combination replaces its row in place.
+KEY_FIELDS = ("test", "real", "quant", "dtype", "group_size")
+
 
 class ExperimentResults:
-    """JSONL result store, dedup/update by config key
-    (reference: experiments.py:33-101)."""
+    """Resumable JSONL experiment-result store.
+
+    Same resume semantics as the reference harness (dedup/update keyed on
+    the run's config; atomic rewrite so an interrupted run never corrupts
+    prior rows — reference: experiments.py:33-101), reworked mechanics:
+    the key is an explicit field tuple (``KEY_FIELDS``), rows keep
+    first-seen order, and ``save_or_update`` is the single write entry.
+    """
 
     def __init__(self, filepath):
         self.filepath = Path(filepath)
-        self.results = {}
-        self._load()
-
-    def _load(self):
+        prior = []
         if self.filepath.exists():
             with open(self.filepath) as f:
-                for line in f:
-                    if line.strip():
-                        result = json.loads(line)
-                        self.results[self._get_config_key(result)] = result
-            print(f"loaded {len(self.results)} results from {self.filepath}")
+                prior = [json.loads(line) for line in f if line.strip()]
+            print(f"resuming: {len(prior)} prior results in {self.filepath}")
+        self.rows = {self.key_of(r): r for r in prior}
 
-    def _get_config_key(self, result):
-        key_parts = [
-            result.get("test", ""),
-            result.get("real", False),
-            result.get("quant", ""),
-            result.get("dtype", ""),
-            str(result.get("group_size", "")),
-        ]
-        return "|".join(str(p) for p in key_parts)
+    @staticmethod
+    def key_of(row: dict) -> tuple:
+        return tuple(str(row.get(k)) for k in KEY_FIELDS)
 
-    def save_or_update(self, result):
-        config_key = self._get_config_key(result)
-        is_new = config_key not in self.results
-        result["timestamp"] = datetime.now().isoformat()
-        self.results[config_key] = result
-        self._write_to_jsonl()
-        print(f"result {'saved' if is_new else 'updated'} → {self.filepath}")
+    def save_or_update(self, result: dict) -> None:
+        row = dict(result, timestamp=datetime.now().isoformat())
+        key = self.key_of(row)
+        verb = "updated" if key in self.rows else "saved"
+        self.rows[key] = row
+        tmp = self.filepath.with_name(self.filepath.name + ".tmp")
+        tmp.write_text("".join(json.dumps(r, ensure_ascii=False) + "\n"
+                               for r in self.rows.values()))
+        os.replace(tmp, self.filepath)
+        print(f"result {verb} → {self.filepath}")
 
-    def _write_to_jsonl(self):
-        temp_file = self.filepath.with_suffix(".tmp")
-        with open(temp_file, "w") as f:
-            for result in self.results.values():
-                f.write(json.dumps(result, ensure_ascii=False) + "\n")
-        temp_file.replace(self.filepath)
-
-    def exists(self, test, real, quant, dtype, group_size=None):
-        key = "|".join(str(p) for p in [test, real, quant, dtype, str(group_size)])
-        return key in self.results
+    def exists(self, test, real, quant, dtype, group_size=None) -> bool:
+        probe = dict(zip(KEY_FIELDS, (test, real, quant, dtype, group_size)))
+        return self.key_of(probe) in self.rows
 
 
 def _base_result(args):

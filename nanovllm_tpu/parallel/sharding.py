@@ -106,8 +106,13 @@ class ShardingPlan:
         return _unflatten(out)
 
     def kv_sharding(self) -> NamedSharding:
-        # pooled pages [L*P, page_size, 2*Hk, D]: shard combined kv heads
-        # (interleaved k/v pairs stay together while tp <= Hk)
+        # pooled pages [L*P, page_size, 2*Hk, D]: shard combined kv heads.
+        # Valid for DENSE pools only — interleaved K/V pairs stay together
+        # while tp <= Hk. The row-scale pools are K-first ([0:Hk]=K, [Hk:]=V),
+        # where a head shard would split matching K/V pairs across devices;
+        # Config rejects kv_cache_dtype int8_rs/int4 with
+        # tensor_parallel_size > 1 (config.py) until the flash kernel is
+        # TP-aware.
         return NamedSharding(self.mesh, P(None, None, "model", None))
 
     def kv_scales_sharding(self) -> NamedSharding:

@@ -258,6 +258,21 @@ def bench_qmm(rtt):
         print(f"  -> {flops/dt/1e12:.1f} TOPS ({util*100:.0f}% of int8 peak, "
               f"{bw*100:.0f}% of HBM)", flush=True)
 
+        from nanovllm_tpu.ops.pallas.quant_matmul import w8a8_matmul_act_fused
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_w8a8_fused(x, w_q, sw):
+            o = w8a8_matmul_act_fused(x, w_q, sw, out_dtype=jnp.bfloat16)
+            return o[:, :K] * 1e-3 if N >= K else jnp.pad(o, ((0, 0), (0, K - N))) * 1e-3
+
+        dt = timed_chain(f"w8a8 act-fused M={M} K={K} N={N}",
+                         lambda x: step_w8a8_fused(x, w_q, sw),
+                         jnp.asarray(x_host), 200, rtt)
+        util = flops / dt / PEAK_INT8
+        bw = (2 * M * K + K * N + 2 * M * N) / dt / PEAK_HBM  # x read as bf16
+        print(f"  -> {flops/dt/1e12:.1f} TOPS ({util*100:.0f}% of int8 peak, "
+              f"{bw*100:.0f}% of HBM) [quant in prologue]", flush=True)
+
         wg_q, sg = per_group_quant(w, group_size=128)
 
         @partial(jax.jit, donate_argnums=(0,))
