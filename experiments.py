@@ -22,7 +22,9 @@ from pathlib import Path
 
 # The experiment grid is keyed by these config fields: one JSONL row per
 # unique combination, re-running a combination replaces its row in place.
-KEY_FIELDS = ("test", "real", "quant", "dtype", "group_size")
+# (kv_dtype extends the reference's key set — KV-cache quantization is this
+# framework's own knob and its rows must not collide with the weight grid.)
+KEY_FIELDS = ("test", "real", "quant", "dtype", "group_size", "kv_dtype")
 
 
 class ExperimentResults:
@@ -69,6 +71,7 @@ def _base_result(args):
         "test": args.test, "real": args.real, "quant": args.quant,
         "dtype": args.dtype,
         "group_size": args.group_size if args.quant == "group" else None,
+        "kv_dtype": args.kv_dtype,
     }
 
 
@@ -246,7 +249,7 @@ def main():
     # KV-cache quantization (extension beyond the reference, which reserves
     # the knob but never implements it)
     parser.add_argument("--kv-dtype", type=str, default="auto",
-                        choices=["auto", "int8", "fp8"])
+                        choices=["auto", "int8", "fp8", "int8_rs", "int4"])
     args = parser.parse_args()
 
     print(f"test: {args.test}, real: {args.real}, quant: {args.quant}, "
