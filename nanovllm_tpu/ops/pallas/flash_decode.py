@@ -26,14 +26,21 @@ It is also the engine's integration point for sub-byte KV: ``kv_mode``
                  decode HBM traffic vs int8. K is never unpacked:
                  q·K = q·b - 16*(q·V).
 
-Design lessons from the v1/v2 post-mortems (v1: 3.1 ms vs the tuned library
-kernel's 0.86 ms at B=256/ctx=1k int8; v2 restructured the dequant onto the
-score matrices and still measured ~3 ms):
+Design lessons from the v1-v3 post-mortems (hardware-measured at
+B=256/ctx=1k int8, tuned library kernel = 0.72 ms):
 
-- **Lane grouping**: grid is (B / lanes_per_step,), not (B,) — v1's 256
-  sequential grid steps paid ~12 us of per-step overhead each. Lanes in a
-  group are processed sequentially in-register while their page streams
-  prefetch concurrently.
+- **Lane grouping** (v2): grid is (B / lanes_per_step,), not (B,) — v1's
+  256 sequential grid steps paid ~12 us of per-step overhead each (3.1 ms).
+- **Chunk-outer pipelining** (v4): v2/v3 processed each lane to completion
+  before the next, so a lane's chunk c+1 DMA was issued only after its
+  chunk c compute — ~1 chunk DMA in flight, full DMA latency paid per
+  chunk: 3.2 ms regardless of compute restructuring. v4 advances ALL lanes
+  through chunk c before any lane starts c+1 (per-lane m/l/acc/q_blk
+  accumulators live in scratch), keeping `lanes` DMA chains in flight —
+  the same cross-step pipelining the library kernel gets from its
+  seq-tracking double buffer. Lanes overfetch to the group-max chunk count
+  (clamped page-0 copies; numerically no-ops), trading bounded extra
+  traffic for zero per-lane predication.
 - **Static DMA discipline**: every semaphore index is static (python-level
   lane/bank/slot unroll; the buffer parity is branched under ``pl.when``),
   and every ``start`` is guarded by *exactly* the same predicate as its
@@ -123,9 +130,10 @@ def _kernel(
     sbuf,              # [LG, 2, CHUNK * ps, SW] bf16, or None
     sems,              # DMA sems [LG, 2] (shared per lane/bank)
     sems_s,            # DMA sems [LG, 2] (shared per lane/bank), or None
-    m_ref,             # f32[Hq, 128] running max (lane-replicated)
-    l_ref,             # f32[Hq, 128] running denom
-    acc_ref,           # f32[Hq, D]
+    m_ref,             # f32[LG, Hq, 128] running max (lane-replicated cols)
+    l_ref,             # f32[LG, Hq, 128] running denom
+    acc_ref,           # f32[LG, Hq, D]
+    qblk_ref,          # bf16[LG, Hq, nslots*D] block-diagonal q per lane
     *,
     ps: int,
     chunk: int,
@@ -175,135 +183,149 @@ def _kernel(
         e_k = (ci == ri).astype(jnp.float32)              # [Hq, 2Hk]
         e_v = (ci == ri + Hk).astype(jnp.float32)
 
+    # Group-max chunk count: every lane in the group advances through the
+    # SAME number of chunks (chunk-outer / lane-inner pipeline). Lanes past
+    # their own kv_len overfetch clamped page-0 data — numerically a no-op
+    # (every position invalid -> p zeroed, alpha = 1) — in exchange for
+    # `lanes` DMA chains permanently in flight. The previous lane-outer
+    # structure left only ~1 chunk DMA in flight and paid full DMA latency
+    # per chunk: measured 3.2 ms vs the library kernel's 0.72 ms at
+    # B=256/ctx=1k int8.
+    max_nch = jnp.int32(1)
+    for li in range(lanes):
+        max_nch = jnp.maximum(
+            max_nch, pl.cdiv(kv_lens_ref[step * lanes + li], Tc))
+
     if debug != "compute":
         # prefetch every lane's first chunk before any compute
         for li in range(lanes):
             issue(li, 0, 0, step)
 
-    for li in range(lanes):                      # lanes compute sequentially
-        lane = step * lanes + li
-        # every lane consumes >= 1 chunk (issue/wait balance for the
-        # unconditional prefetch); kv_len=0 lanes output zeros because every
-        # position is invalid -> p zeroed -> l stays 0
-        nch = jnp.maximum(pl.cdiv(kv_lens_ref[lane], Tc), 1)
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    for li in range(lanes):
+        m_ref[li] = jnp.full_like(m_ref[li], _NEG_INF)
+        l_ref[li] = jnp.zeros_like(l_ref[li])
+        acc_ref[li] = jnp.zeros_like(acc_ref[li])
         q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
         if kv_scale is not None:
             q = q * kv_scale                  # K dequant rides in with q
-        q_blk = ((q[:, None, :] * sel_k3).reshape(Hq, nslots * D)
-                 .astype(jnp.bfloat16))                   # [Hq, nslots*D]
+        qblk_ref[li] = ((q[:, None, :] * sel_k3).reshape(Hq, nslots * D)
+                        .astype(jnp.bfloat16))            # [Hq, nslots*D]
 
-        def body(c, _, li=li, lane=lane, nch=nch, q_blk=q_blk):
-            parity = jax.lax.rem(c, 2)
+    def body(c, _):
+        parity = jax.lax.rem(c, 2)
 
-            def consume(bank: int, c=c, li=li, lane=lane, nch=nch,
-                        q_blk=q_blk):
-                if debug != "compute":
-                    wait(li, bank, c, step)
+        def consume_lane(bank: int, li: int, c=c):
+            lane = step * lanes + li
+            if debug != "compute":
+                wait(li, bank, c, step)
 
-                    @pl.when(c + 1 < nch)
-                    def _():
-                        issue(li, 1 - bank, c + 1, step)
-                if debug == "dma":
-                    # touch the buffers so the copies stay live
-                    acc_ref[:] += kbuf[li, bank][:Hq, :D].astype(jnp.float32)
-                    if with_scales:
-                        acc_ref[:] += sbuf[li, bank][:Hq, :D].astype(jnp.float32)
-                    return
-
-                kv = kbuf[li, bank]                  # [Tc, RW]
-                pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
-                valid = pos < kv_lens_ref[lane]      # [1, Tc]
-                if interpret:
-                    # interpret-mode scratch is NaN-initialized; rows past
-                    # kv_len were never DMA'd and would poison p @ v via
-                    # 0 * NaN. On hardware stale VMEM rows are finite and
-                    # the masked softmax zeroes their weights.
-                    pcol = c * Tc + jax.lax.broadcasted_iota(
-                        jnp.int32, kv.shape, 0)
-                    kv = jnp.where(pcol < kv_lens_ref[lane], kv,
-                                   jnp.zeros_like(kv))
+                @pl.when(c + 1 < max_nch)
+                def _():
+                    issue(li, 1 - bank, c + 1, step)
+            if debug == "dma":
+                # touch the buffers so the copies stay live
+                acc_ref[li] += kbuf[li, bank][:Hq, :D].astype(jnp.float32)
                 if with_scales:
-                    sc = sbuf[li, bank][:, :2 * Hk]  # [Tc, 2Hk] bf16 K-first
-                    sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
-                    if interpret:
-                        sc_t = jnp.where(valid, sc_t, 0.0)
-                    sck = jax.lax.dot_general(        # [Hq, Tc] K row scales
-                        e_k, sc_t, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    scv = jax.lax.dot_general(        # [Hq, Tc] V row scales
-                        e_v, sc_t, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                if packed_int4:
-                    bf = kv.astype(jnp.float32)       # b = 16V + K, exact
-                    vb = jnp.floor((bf + 8.0) * 0.0625).astype(jnp.bfloat16)
-                    bb = bf.astype(jnp.bfloat16)      # |b| <= 119: exact
-                    s_b = jax.lax.dot_general(
-                        q_blk, bb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [Hq, Tc]
-                    s_v = jax.lax.dot_general(
-                        q_blk, vb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    s = (s_b - 16.0 * s_v) * sck      # q·K, dequantized
-                    pv_src = vb                       # [Tc, Hk*D]
-                else:
-                    kvb = (kv if kv.dtype == jnp.bfloat16
-                           else kv.astype(jnp.bfloat16))
-                    # q_blk is zero at V slots, so one whole-row matmul
-                    # yields q·K directly (the V lanes contribute nothing)
-                    s = jax.lax.dot_general(
-                        q_blk, kvb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [Hq, Tc]
-                    if with_scales:
-                        s = s * sck
-                    pv_src = kvb                      # [Tc, nslots*D]
-                s = jnp.where(valid, s, _NEG_INF)     # [Hq, Tc]
-                m_old = m_ref[:]
-                s_max = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
-                alpha = jnp.exp(m_old - m_new)
-                # explicit zero for invalid positions: when every position
-                # so far is invalid (kv_len=0 lanes), s == m_new == -inf and
-                # exp(s - m_new) = 1 would accumulate clamped page-0 data
-                # with l = Tc instead of staying 0.
-                p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)
-                l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
-                    jnp.sum(p, axis=1, keepdims=True), alpha.shape)
-                # V row-scale dequant rides on p (it varies along Tc, so it
-                # must multiply before the contraction)
-                pbf = ((p * scv) if with_scales else p).astype(jnp.bfloat16)
-                pv_all = jax.lax.dot_general(
-                    pbf, pv_src, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [Hq, nslots'*D]
-                ns = pv_all.shape[1] // D
-                pv = jnp.sum(pv_all.reshape(Hq, ns, D) * sel_v3[:, :ns],
-                             axis=1)
-                if kv_scale is not None:
-                    pv = pv * kv_scale   # V dequant (K's rode in with q)
-                acc_ref[:] = acc_ref[:] * alpha + pv
-                m_ref[:] = m_new
+                    acc_ref[li] += sbuf[li, bank][:Hq, :D].astype(jnp.float32)
+                return
 
-            @pl.when(parity == 0)
-            def _():
-                consume(0)
+            kv = kbuf[li, bank]                  # [Tc, RW]
+            pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
+            valid = pos < kv_lens_ref[lane]      # [1, Tc]
+            if interpret:
+                # interpret-mode scratch is NaN-initialized; rows past
+                # kv_len were never DMA'd and would poison p @ v via
+                # 0 * NaN. On hardware stale VMEM rows are finite and
+                # the masked softmax zeroes their weights.
+                pcol = c * Tc + jax.lax.broadcasted_iota(
+                    jnp.int32, kv.shape, 0)
+                kv = jnp.where(pcol < kv_lens_ref[lane], kv,
+                               jnp.zeros_like(kv))
+            q_blk = qblk_ref[li]
+            if with_scales:
+                sc = sbuf[li, bank][:, :2 * Hk]  # [Tc, 2Hk] bf16 K-first
+                sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
+                if interpret:
+                    sc_t = jnp.where(valid, sc_t, 0.0)
+                sck = jax.lax.dot_general(        # [Hq, Tc] K row scales
+                    e_k, sc_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scv = jax.lax.dot_general(        # [Hq, Tc] V row scales
+                    e_v, sc_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if packed_int4:
+                bf = kv.astype(jnp.float32)       # b = 16V + K, exact
+                vb = jnp.floor((bf + 8.0) * 0.0625).astype(jnp.bfloat16)
+                bb = bf.astype(jnp.bfloat16)      # |b| <= 119: exact
+                s_b = jax.lax.dot_general(
+                    q_blk, bb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [Hq, Tc]
+                s_v = jax.lax.dot_general(
+                    q_blk, vb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = (s_b - 16.0 * s_v) * sck      # q·K, dequantized
+                pv_src = vb                       # [Tc, Hk*D]
+            else:
+                kvb = (kv if kv.dtype == jnp.bfloat16
+                       else kv.astype(jnp.bfloat16))
+                # q_blk is zero at V slots, so one whole-row matmul
+                # yields q·K directly (the V lanes contribute nothing)
+                s = jax.lax.dot_general(
+                    q_blk, kvb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [Hq, Tc]
+                if with_scales:
+                    s = s * sck
+                pv_src = kvb                      # [Tc, nslots*D]
+            s = jnp.where(valid, s, _NEG_INF)     # [Hq, Tc]
+            m_old = m_ref[li]
+            s_max = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
+            alpha = jnp.exp(m_old - m_new)
+            # explicit zero for invalid positions: when every position
+            # so far is invalid (kv_len=0 lanes, overfetched chunks),
+            # s == m_new == -inf and exp(s - m_new) = 1 would accumulate
+            # clamped page-0 data with l = Tc instead of staying 0.
+            p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)
+            l_ref[li] = l_ref[li] * alpha + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), alpha.shape)
+            # V row-scale dequant rides on p (it varies along Tc, so it
+            # must multiply before the contraction)
+            pbf = ((p * scv) if with_scales else p).astype(jnp.bfloat16)
+            pv_all = jax.lax.dot_general(
+                pbf, pv_src, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [Hq, nslots'*D]
+            ns = pv_all.shape[1] // D
+            pv = jnp.sum(pv_all.reshape(Hq, ns, D) * sel_v3[:, :ns],
+                         axis=1)
+            if kv_scale is not None:
+                pv = pv * kv_scale   # V dequant (K's rode in with q)
+            acc_ref[li] = acc_ref[li] * alpha + pv
+            m_ref[li] = m_new
 
-            @pl.when(parity == 1)
-            def _():
-                consume(1)
+        @pl.when(parity == 0)
+        def _():
+            for li in range(lanes):
+                consume_lane(0, li)
 
-            return 0
+        @pl.when(parity == 1)
+        def _():
+            for li in range(lanes):
+                consume_lane(1, li)
 
-        jax.lax.fori_loop(0, nch, body, 0)
-        o_ref[li] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, max_nch, body, 0)
+    for li in range(lanes):
+        o_ref[li] = (acc_ref[li]
+                     / jnp.maximum(l_ref[li], 1e-30)).astype(o_ref.dtype)
 
 
 def _kernel_dense_entry(kv_lens_ref, page_indices_ref, q_ref, pages_hbm,
-                        o_ref, kbuf, sems, m_ref, l_ref, acc_ref, **kw):
+                        o_ref, kbuf, sems, m_ref, l_ref, acc_ref, qblk_ref,
+                        **kw):
     """Signature adapter: the dense pool has no scale sidecar operands."""
     _kernel(kv_lens_ref, page_indices_ref, q_ref, pages_hbm, None, o_ref,
-            kbuf, None, sems, None, m_ref, l_ref, acc_ref, **kw)
+            kbuf, None, sems, None, m_ref, l_ref, acc_ref, qblk_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_scale", "kv_mode",
@@ -360,9 +382,10 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
             scratch_shapes=[
                 pltpu.VMEM((lanes, 2, chunk * ps, RW), kv_pages.dtype),
                 pltpu.SemaphoreType.DMA((lanes, 2)),
-                pltpu.VMEM((Hq, 128), jnp.float32),
-                pltpu.VMEM((Hq, 128), jnp.float32),
-                pltpu.VMEM((Hq, D), jnp.float32),
+                pltpu.VMEM((lanes, Hq, 128), jnp.float32),
+                pltpu.VMEM((lanes, Hq, 128), jnp.float32),
+                pltpu.VMEM((lanes, Hq, D), jnp.float32),
+                pltpu.VMEM((lanes, Hq, RW), jnp.bfloat16),  # q_blk
             ],
         )
         return pl.pallas_call(
@@ -388,9 +411,10 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
             pltpu.VMEM((lanes, 2, chunk * ps, SW), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((lanes, 2)),
             pltpu.SemaphoreType.DMA((lanes, 2)),
-            pltpu.VMEM((Hq, 128), jnp.float32),
-            pltpu.VMEM((Hq, 128), jnp.float32),
-            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((lanes, Hq, 128), jnp.float32),
+            pltpu.VMEM((lanes, Hq, 128), jnp.float32),
+            pltpu.VMEM((lanes, Hq, D), jnp.float32),
+            pltpu.VMEM((lanes, Hq, RW), jnp.bfloat16),  # q_blk
         ],
     )
     return pl.pallas_call(
