@@ -164,8 +164,11 @@ def _timed(step, q0, n, rtt):
     return (time.perf_counter() - t - rtt) / n
 
 
-# (16, 8) exceeds compile limits; sweep the rest
-_SWEEP_CFGS = [(4, 2), (4, 4), (4, 8), (8, 2), (8, 4), (8, 8), (16, 2), (16, 4)]
+# (lanes, chunk). v5 wants big chunks (op-issue amortization); chunk=16
+# means Tc=1024 = one consume per ctx-1k lane (no intra-lane double buffer,
+# relies on cross-lane prefetch), chunk=8 double-buffers within the lane.
+_SWEEP_CFGS = [(2, 16), (4, 4), (4, 8), (4, 16), (8, 4), (8, 8), (8, 16),
+               (16, 4)]
 
 
 def _sweep_case(mode):
@@ -218,6 +221,44 @@ def _sweep_case(mode):
             f"{t*1e3:.3f} ms ({t/t_lib:.2f}x library-int8)")
 
 
+def split(mode="int8", lanes=8, chunk=8):
+    """Attribute kernel time: full vs DMA-only vs compute-only at the bench
+    shape (decides whether the next optimization target is the copy stream
+    or the MXU tile shapes)."""
+    import functools as ft
+    from nanovllm_tpu.ops.attention import quantize_kv
+    B, ctx, P = 256, 1024, 4200
+    rtt = _probe_rtt()
+    say(f"split[{mode}]: B={B} ctx={ctx} lanes={lanes} chunk={chunk} "
+        f"RTT={rtt*1e3:.1f} ms")
+    q, lens, pi = make_batch(B=B, ctx=ctx, P=P)
+    q0 = np.asarray(q)
+    if mode == "int8":
+        pool = (make_pool(P, jnp.float32) / 0.0625).round() \
+            .clip(-127, 127).astype(jnp.int8)
+        spool, kw = None, {"kv_scale": 0.0625}
+    else:
+        raw = jax.random.normal(jax.random.key(9), (P * PS, 2 * Hk, D),
+                                jnp.float32)
+        stored, scales = quantize_kv(raw, (mode, None))
+        rh = Hk if mode == "int4_rs" else 2 * Hk
+        pool = stored.reshape(P, PS, rh, D)
+        spool = scales.reshape(P, PS, -1)
+        kw = {"kv_mode": mode}
+    for dbg in ("full", "dma", "compute"):
+        @ft.partial(jax.jit, donate_argnums=(0,))
+        def fstep(qq, pool, sp, dbg=dbg):
+            return (flash(qq, pool, lens, pi, kv_scales=sp, chunk=chunk,
+                          lanes_per_step=lanes, debug=dbg, **kw)
+                    * 1e-3).astype(qq.dtype)
+        try:
+            t = _timed(lambda qq: fstep(qq, pool, spool), q0, 20, rtt)
+            say(f"split[{mode}]: {dbg}: {t*1e3:.3f} ms")
+        except Exception as e:  # noqa: BLE001
+            say(f"split[{mode}]: {dbg}: FAIL {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:90]}")
+
+
 def sweep():
     _sweep_case("int8")
 
@@ -234,4 +275,5 @@ if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "smoke"
     say(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     {"smoke": smoke, "parity": parity, "rowscale": rowscale,
-     "sweep": sweep, "sweep_rs": sweep_rs, "sweep4": sweep4}[stage]()
+     "sweep": sweep, "sweep_rs": sweep_rs, "sweep4": sweep4,
+     "split": split}[stage]()
