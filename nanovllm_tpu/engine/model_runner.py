@@ -155,6 +155,7 @@ class ModelRunner:
             quant_cfg=quant_cfg,
             attn_blocks_prefill=config.attn_blocks_prefill,
             attn_blocks_decode=config.attn_blocks_decode,
+            flash_decode_blocks=config.flash_decode_blocks,
             kv_quant=self.kv_quant)
 
         self._prefill_jits = {}

@@ -215,7 +215,8 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
 
 def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
                     impl: str, page_size: int, pages_per_layer: int,
-                    blocks: tuple | None = None, kv_quant: tuple | None = None):
+                    blocks: tuple | None = None, kv_quant: tuple | None = None,
+                    flash_blocks: tuple | None = None):
     """Ragged attention of the q stream against layer ``layer_idx``'s pages.
 
     ``blocks``: optional (num_kv_pages_per_block, num_queries_per_block)
@@ -239,9 +240,12 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
         from nanovllm_tpu.ops.pallas.flash_decode import flash_decode_attention
         lens = jnp.where(meta.q_segment_ids >= 0, meta.kv_lens, 0)
         kv_mode = kind if kind in ("int8_rs", "int4_rs") else "dense"
+        fkw = {}
+        if flash_blocks is not None:
+            fkw = {"lanes_per_step": flash_blocks[0], "chunk": flash_blocks[1]}
         return flash_decode_attention(
             q, kv_pages, lens, page_indices, sm_scale=scale,
-            kv_scale=kv_scale, kv_scales=kv_scales, kv_mode=kv_mode)
+            kv_scale=kv_scale, kv_scales=kv_scales, kv_mode=kv_mode, **fkw)
     if kv_scales is not None and impl != "xla":
         raise NotImplementedError(
             "row-scale KV prefill requires the scratch-dequant path "
