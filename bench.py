@@ -23,6 +23,13 @@ def main():
     num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
     max_input_len = int(os.environ.get("BENCH_MAX_INPUT", 1024))
     max_output_len = int(os.environ.get("BENCH_MAX_OUTPUT", 1024))
+    # BENCH_MIN_OUTPUT=1 with BENCH_MAX_OUTPUT=1 gives a prefill-dominated
+    # run over the bench's random (prefix-cache-miss) prompts — used to
+    # isolate the prefill path (e.g. the row-scale scratch-dequant tax);
+    # experiments.py's prefill test reuses one filler text, so its prefills
+    # after the first are pure prefix-cache hits.
+    min_output_len = int(os.environ.get("BENCH_MIN_OUTPUT", 100))
+    min_output_len = min(min_output_len, max_output_len)
 
     # int8 KV is this framework's shipped serving config: it doubles KV
     # capacity (the bench workload is capacity-bound) with bounded, tested
@@ -56,7 +63,8 @@ def main():
             for _ in range(num_seqs)]
     else:
         sampling_params = [SamplingParams(temperature=0.6, ignore_eos=True,
-                                          max_tokens=randint(100, max_output_len))
+                                          max_tokens=randint(min_output_len,
+                                                             max_output_len))
                            for _ in range(num_seqs)]
 
     # warmup: compiles the prefill/decode buckets
@@ -83,6 +91,17 @@ def main():
         return
     total_tokens = sum(sp.max_tokens for sp in sampling_params)
     throughput = total_tokens / t
+    # diagnostics (stderr; the driver consumes exactly one stdout JSON line):
+    # avg decode lanes ≈ decode_tokens / (decode_calls * K) shows whether the
+    # run is KV-capacity-bound (lanes << num_seqs) or chip-bound
+    import sys
+    m = dict(llm.metrics)
+    k = llm.config.decode_steps_per_call
+    if m.get("decode_calls"):
+        m["avg_decode_lanes"] = round(
+            m["decode_tokens"] / (m["decode_calls"] * k), 1)
+    print(json.dumps({"bench_diag": m, "kv_dtype": kv_dtype,
+                      "wall_s": round(t, 2)}), file=sys.stderr)
     print(json.dumps({
         "metric": "offline_throughput",
         "value": round(throughput, 2),

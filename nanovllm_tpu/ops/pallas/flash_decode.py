@@ -53,6 +53,38 @@ kernel = 0.72-1.0 ms):
 - Per-row scales ride the score/probability matrices: sc_t [2Hk, Tc] is
   transposed once per chunk and expanded to [Hq, Tc] by two tiny selection
   matmuls; per-head row slices of the result are free.
+
+Round-3 hardware verdict (tools/flash_decode_validate.py, v5e, in-run
+ratios): DMA-only = 0.60 ms at B=256/ctx=1k int8 — AT the ~0.64 ms HBM
+floor — but compute-only = 3.96 ms vs the ~0.56 ms M=16 MXU bound, so v5
+runs 2.1x the tuned library kernel on dense int8 and 10-24x on the rs
+modes (scale transpose + selection matmuls + per-page sidecar DMAs).
+The library kernel itself measures ~88% of HBM peak at this shape, i.e.
+speed-of-light for int8 pages; dense decode therefore ships on the
+library kernel and this kernel serves the rs pools (correctness-complete,
+hardware-verified) until the v6 compute rewrite lands:
+
+- v6 design (op-count /8): fuse the per-kv-head matmuls into all-pairs
+  [Hq, D] @ [D, Tc*Hk] with h-minor flat columns (leading-dim collapse of
+  the [chunk, ps, Hk, D] box, layout-free), group-mask via lane-iota
+  (col % Hk == row // G); per-chunk op count drops from ~16 matmuls +
+  ~40 VPU ops to 2 matmuls + ~10 VPU ops at identical MXU occupancy
+  (M <= 128 rides one pass either way).
+- v6 scales: store K/V scale sidecars as flat 128-lane tables in (t, h)
+  h-minor page blocks ([P, 4, 128] bf16 each for Hk=8/ps=64) so the
+  per-chunk scale factors are VMEM gathers whose element order MATCHES
+  the all-pairs score columns — the [Tc, 2Hk] transpose relayout, the
+  selection matmuls, and the per-page sidecar DMA descriptors all
+  disappear, and the sidecar shrinks 8x (int4 capacity becomes 1.94x
+  int8 instead of 1.6x).
+
+Numerics: q and p are cast to bf16 before the MXU matmuls in every mode
+(int8/int4 K/V cast to bf16 exactly; softmax statistics and the output
+accumulator stay f32). The bf16 q/p rounding bounds the error vs an f32
+oracle at ~1e-2 absolute on O(1)-normalized outputs (observed 2.4e-4..4e-3
+vs the library kernel at bench shapes; tests/test_flash_decode.py gates at
+1e-2). The f32-q path would halve MXU throughput on the bandwidth-critical
+decode path for accuracy the f32 accumulator already provides.
 """
 
 import functools
