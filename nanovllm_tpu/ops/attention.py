@@ -197,8 +197,17 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
         rows, srows = kv_new
         pages = store_kv(pages, rows, meta, layer_idx, page_size=page_size,
                          pages_per_layer=pages_per_layer, interpret=interpret)
-        spool = store_kv(spool, srows, meta, layer_idx, page_size=page_size,
-                         pages_per_layer=pages_per_layer, interpret=interpret)
+        # Mosaic's compiler rejects the ring kernel's dynamic page-slice on a
+        # RANK-2 bf16 stream ([Tpad, SW] -> [ps, SW]; (2,1)-packed sublane
+        # memref_slice, remote-compile HTTP 500 on v5e) while the rank-3 data
+        # stream compiles fine — thread the sidecar through the same kernels
+        # as [.., 1, SW] (free reshapes: a unit dim before the minor axis).
+        P, ps, SW = spool.shape
+        spool = store_kv(spool.reshape(P, ps, 1, SW),
+                         srows.reshape(-1, 1, SW), meta, layer_idx,
+                         page_size=page_size,
+                         pages_per_layer=pages_per_layer,
+                         interpret=interpret).reshape(P, ps, SW)
         return pages, spool
     if meta.store_page_src.shape[0] == 1:
         return kv_store_rows(
