@@ -315,7 +315,7 @@ class ModelRunner:
     # ------------------------------------------------------------------ KV
     def _page_bytes(self):
         """Bytes per logical page across all layers. Row-scale modes count
-        the packed data bytes plus the bf16 sidecar scale per (row, head)."""
+        the packed data bytes plus the f32 sidecar scale per (row, head)."""
         hf = self.config.hf_config
         row_heads = 2 * hf.num_key_value_heads
         if self.kv_quant is not None and self.kv_quant[0] in ("int8_rs", "int4_rs"):
@@ -323,7 +323,7 @@ class ModelRunner:
             data = row_heads * hf.head_dim // (
                 2 if self.kv_quant[0] == "int4_rs" else 1)
             return (hf.num_hidden_layers * self.page_size
-                    * (data + 2 * kv_scale_width(row_heads)))
+                    * (data + 4 * kv_scale_width(row_heads)))
         bits = jnp.finfo(self.kv_dtype).bits if jnp.issubdtype(
             self.kv_dtype, jnp.floating) else jnp.iinfo(self.kv_dtype).bits
         return (hf.num_hidden_layers * self.page_size
@@ -379,7 +379,7 @@ class ModelRunner:
                          if self.plan is not None else None)
             zeros = jax.jit(
                 lambda: (jnp.zeros(shape, self.kv_dtype),
-                         jnp.zeros(sshape, jnp.bfloat16)),
+                         jnp.zeros(sshape, jnp.float32)),
                 out_shardings=((sharding, ssharding)
                                if sharding is not None else None))
         else:

@@ -135,7 +135,7 @@ def quantize_kv(kv_new, kv_quant: tuple):
     reference, which reserves kv-cache dtype config but never implements it.
 
     ("int8_rs"|"int4_rs", _): dynamic per-(row, head) scales — returns
-    (stored, scales bf16[T, SW] lane-padded, see kv_scale_width). Unlike the
+    (stored, scales f32[T, SW] lane-padded, see kv_scale_width). Unlike the
     dense pools (interleaved K/V heads for the library ragged kernel), the
     rs pools are read ONLY by the in-house flash-decode kernel and use a
     **K-first** head axis: rows/scales index [0:Hk] = K heads, [Hk:2Hk] = V
@@ -164,7 +164,13 @@ def quantize_kv(kv_new, kv_quant: tuple):
             Hk = qv.shape[-2] // 2
             k, v = qv[..., :Hk, :], qv[..., Hk:, :]     # [T, Hk, D] each
             qv = (16 * v + k).astype(jnp.int8)          # b in [-119, 119]
-        return qv, pad_kv_scales((absmax * (1.0 / qmax)).astype(jnp.bfloat16))
+        # Scales are stored f32, not bf16: Mosaic's memref slicer rejects
+        # dynamic leading-dim slices of (2,1)-packed bf16 streams (the store
+        # ring kernel's page copy needs a provably-even packed-sublane
+        # offset; remote-compile HTTP 500 on v5e), while f32's (1,1) packing
+        # slices anywhere. The sidecar is ~3% (int8_rs) / 6% (int4) of pool
+        # bytes at f32 — capacity-immaterial for an experimental path.
+        return qv, pad_kv_scales((absmax * (1.0 / qmax)).astype(jnp.float32))
     raise ValueError(f"unknown kv_quant kind {kind!r}")
 
 
@@ -197,17 +203,8 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
         rows, srows = kv_new
         pages = store_kv(pages, rows, meta, layer_idx, page_size=page_size,
                          pages_per_layer=pages_per_layer, interpret=interpret)
-        # Mosaic's compiler rejects the ring kernel's dynamic page-slice on a
-        # RANK-2 bf16 stream ([Tpad, SW] -> [ps, SW]; (2,1)-packed sublane
-        # memref_slice, remote-compile HTTP 500 on v5e) while the rank-3 data
-        # stream compiles fine — thread the sidecar through the same kernels
-        # as [.., 1, SW] (free reshapes: a unit dim before the minor axis).
-        P, ps, SW = spool.shape
-        spool = store_kv(spool.reshape(P, ps, 1, SW),
-                         srows.reshape(-1, 1, SW), meta, layer_idx,
-                         page_size=page_size,
-                         pages_per_layer=pages_per_layer,
-                         interpret=interpret).reshape(P, ps, SW)
+        spool = store_kv(spool, srows, meta, layer_idx, page_size=page_size,
+                         pages_per_layer=pages_per_layer, interpret=interpret)
         return pages, spool
     if meta.store_page_src.shape[0] == 1:
         return kv_store_rows(

@@ -14,7 +14,7 @@ It is also the engine's integration point for sub-byte KV: ``kv_mode``
 - ``dense``    — pool [P, ps, 2Hk, D] interleaved combined heads in
                  bf16 / int8 / fp8 with an optional global ``kv_scale``
                  (the layout the library kernel reads).
-- ``int8_rs``  — int8 pool + per-(row, head) bf16 scales in a sidecar
+- ``int8_rs``  — int8 pool + per-(row, head) f32 scales in a sidecar
                  ``kv_scales [P, ps, SW]`` (SW = 128-lane-padded width:
                  Mosaic's DMA slicer requires 128-lane-minor blocks).
                  Fixes the global-scale clipping hazard on unnormalized
@@ -149,10 +149,10 @@ def _kernel(
     page_indices_ref,  # i32[B, W]
     q_ref,             # [LG, Hq, D] this group's queries
     pages_hbm,         # [P, ps, hdim, D] page pool (ANY/HBM)
-    scales_hbm,        # [P, ps, SW] bf16 per-row scales K-first, or None
+    scales_hbm,        # [P, ps, SW] f32 per-row scales K-first, or None
     o_ref,             # [LG, Hq, D]
     kbuf,              # [LG, 2*CHUNK, ps, hdim, D] per-lane double buffers
-    sbuf,              # [LG, 2*CHUNK, ps, SW] bf16, or None
+    sbuf,              # [LG, 2*CHUNK, ps, SW] f32, or None
     sems,              # DMA sems [LG, 2] (shared per lane/bank)
     sems_s,            # DMA sems [LG, 2] (shared per lane/bank), or None
     m_ref,             # f32[LG, Hq, 128] running max (lane-replicated cols)
@@ -358,7 +358,7 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     kv_pages: [P, ps, 2Hk, D] interleaved (dense), or K-first [P, ps, 2Hk, D]
     (int8_rs) / packed b=16V+K [P, ps, Hk, D] (int4_rs) — see
     ops.attention.quantize_kv. kv_lens i32[B] with 0 marking inactive lanes;
-    page_indices i32[B, W]; kv_scales [P, ps, SW] bf16 lane-padded K-first
+    page_indices i32[B, W]; kv_scales [P, ps, SW] f32 lane-padded K-first
     scales (ops.attention.kv_scale_width) for the _rs modes. Returns
     [B, Hq, D] in q's dtype. B must be a multiple of lanes_per_step (engine
     batch buckets are powers of two).
@@ -426,7 +426,7 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
         out_specs=pl.BlockSpec((lanes, Hq, D), lambda s, *_: (s, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((lanes, 2 * chunk, ps, hdim, D), kv_pages.dtype),
-            pltpu.VMEM((lanes, 2 * chunk, ps, SW), jnp.bfloat16),
+            pltpu.VMEM((lanes, 2 * chunk, ps, SW), kv_scales.dtype),
             pltpu.SemaphoreType.DMA((lanes, 2)),
             pltpu.SemaphoreType.DMA((lanes, 2)),
             *common_scratch,

@@ -306,7 +306,7 @@ def test_rowscale_kv_engine_matches_bf16_greedy(tiny_checkpoint, engine,
         kv_cache_dtype=kv_dtype,
     )
     pages, scales = llm.model_runner.kv_pages
-    assert pages.dtype == jnp.int8 and scales.dtype == jnp.bfloat16
+    assert pages.dtype == jnp.int8 and scales.dtype == jnp.float32
     hf = llm.config.hf_config
     # int4 packs the K|V nibbles of a head pair per byte: half the head dim,
     # full 128-lane minor dim (Mosaic DMA alignment)
