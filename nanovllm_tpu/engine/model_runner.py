@@ -355,7 +355,17 @@ class ModelRunner:
                 # warmup peak; we budget analytically)
                 act = cfg.max_num_batched_tokens * hf.hidden_size * 2 * 24
                 logits = cfg.max_num_seqs * hf.vocab_size * 4 * 2
-                budget = int(limit * cfg.gpu_memory_utilization) - in_use - act - logits
+                scratch = 0
+                if self.kv_quant is not None and self.kv_quant[0] in (
+                        "int8_rs", "int4_rs"):
+                    # rs prefill dequantizes the batch's pages into a bf16
+                    # scratch pool per layer-call (models/qwen3.py); budget
+                    # 2x (XLA may double-buffer it across the scan) — the
+                    # round-3 rs run OOM'd at runtime without this
+                    scratch = (2 * cfg.prefill_page_cap * self.page_size
+                               * 2 * hf.num_key_value_heads * hf.head_dim * 2)
+                budget = (int(limit * cfg.gpu_memory_utilization)
+                          - in_use - act - logits - scratch)
                 cfg.num_kvcache_blocks = max(budget, 0) // self._page_bytes() - 1
             else:  # CPU / unknown backend: small default for tests
                 cfg.num_kvcache_blocks = max(
