@@ -42,8 +42,11 @@ def main():
     # and recover KV via the prefix cache. Measured: 3394 (f=1.0) -> 4960
     # (f=0.5) tok/s back-to-back; f=0.35 was within noise of f=0.5.
     reserve = float(os.environ.get("BENCH_KV_RESERVE", 0.5))
+    # BENCH_ADAPTIVE_K=0 disables the adaptive decode-scan-depth policy for
+    # the EOS-workload A/B (full-K scans regardless of observed stop hazard)
+    adaptive = os.environ.get("BENCH_ADAPTIVE_K", "1") != "0"
     llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype,
-              kv_reserve_fraction=reserve)
+              kv_reserve_fraction=reserve, adaptive_decode_steps=adaptive)
 
     # BENCH_EOS_MEAN=<n>: EOS-terminated workload variant — each sequence
     # stops unplannably after ~Geometric(1/n) tokens (stop_after stands in
