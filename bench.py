@@ -99,10 +99,11 @@ def main():
     # run is KV-capacity-bound (lanes << num_seqs) or chip-bound
     import sys
     m = dict(llm.metrics)
-    k = llm.config.decode_steps_per_call
-    if m.get("decode_calls"):
+    # divide by the engine's actual scan-step count (adaptive decode-K runs
+    # K/2 / K/4 scans under stop-hazard; a static K would understate lanes)
+    if m.get("decode_scan_steps"):
         m["avg_decode_lanes"] = round(
-            m["decode_tokens"] / (m["decode_calls"] * k), 1)
+            m["decode_tokens"] / m["decode_scan_steps"], 1)
     print(json.dumps({"bench_diag": m, "kv_dtype": kv_dtype,
                       "wall_s": round(t, 2)}), file=sys.stderr)
     print(json.dumps({

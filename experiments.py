@@ -61,8 +61,11 @@ class ExperimentResults:
         os.replace(tmp, self.filepath)
         print(f"result {verb} → {self.filepath}")
 
-    def exists(self, test, real, quant, dtype, group_size=None) -> bool:
-        probe = dict(zip(KEY_FIELDS, (test, real, quant, dtype, group_size)))
+    def exists(self, test, real, quant, dtype, group_size=None,
+               kv_dtype=None) -> bool:
+        probe = dict(zip(KEY_FIELDS,
+                         (test, real, quant, dtype, group_size, kv_dtype),
+                         strict=True))
         return self.key_of(probe) in self.rows
 
 

@@ -120,14 +120,15 @@ class Config:
     group_size: int = 128
     # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
     # page bytes (≈2x the concurrent batch on a capacity-bound workload);
-    # "int8_rs" adds dynamic per-(row, head) scales in a bf16 sidecar
+    # "int8_rs" adds dynamic per-(row, head) scales in an f32 sidecar
     # (removes the global-scale clipping hazard on unnormalized V rows; the
-    # 128-lane-padded sidecar adds 12.5% to int8 page bytes); "int4" halves
-    # the data bytes again — K|V nibbles of each head pair packed per byte,
-    # same per-row scales (sidecar is then 25% of the 1 kB/row data). The
-    # reference reserves this knob but never implements it (config.py:24
-    # comment). The _rs/int4 pools are readable only by the in-house
-    # flash-decode kernel and the scratch-dequant prefill path
+    # 128-lane-padded f32 sidecar adds 25% to int8 page bytes); "int4"
+    # halves the data bytes again — K|V nibbles of each head pair packed per
+    # byte, same per-row scales (the padded sidecar is then 50% of the
+    # 512 B/row data, so int4 capacity is ~1.33x int8 until the flat-table
+    # sidecar lands). The reference reserves this knob but never implements
+    # it (config.py:24 comment). The _rs/int4 pools are readable only by the
+    # in-house flash-decode kernel and the scratch-dequant prefill path
     # (models/qwen3.py), not the library ragged kernel.
     kv_cache_dtype: str = "auto"      # auto | int8 | fp8 | int8_rs | int4
     # Global dequant scale for plain int8 KV (stored = round(x / scale)).

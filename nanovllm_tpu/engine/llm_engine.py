@@ -80,6 +80,7 @@ class LLMEngine:
         # postfix, reference: llm_engine.py:76-84)
         self.metrics = {"prefill_tokens": 0, "decode_tokens": 0,
                         "prefill_calls": 0, "decode_calls": 0,
+                        "decode_scan_steps": 0,
                         "preemptions": 0, "requests_finished": 0,
                         "decode_tokens_used": 0}
 
@@ -201,6 +202,9 @@ class LLMEngine:
                     s.num_sched_tokens += k
                 self.metrics["decode_tokens"] += sum(steps)
                 self.metrics["decode_calls"] += 1
+                # actual scan depth of this call (adaptive-K may run K/2 or
+                # K/4): the denominator for true avg-lane-occupancy diagnostics
+                self.metrics["decode_scan_steps"] += k_call
             for s in seqs:
                 s.inflight += 1
             try:  # start the D2H transfer in the background

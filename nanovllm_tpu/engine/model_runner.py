@@ -232,15 +232,19 @@ class ModelRunner:
     def _needs_topkp(seqs) -> bool:
         return any(s.top_k > 0 or s.top_p < 1.0 for s in seqs)
 
-    def warmup_jit(self):
+    def warmup_jit(self, force: bool = False):
         """Pre-compile every shape bucket the engine can dispatch (reference:
         warmup_model + capture_cudagraph at init, model_runner.py:117-129,
         316-356). Each bucket runs once with a minimal 1-token batch whose KV
         writes target the garbage page (a fully degenerate num_seqs=0 batch
         aborts the ragged kernel on device). With the persistent jit cache
-        this is a disk read after the first run on a machine."""
+        this is a disk read after the first run on a machine.
+
+        ``force`` runs the warmup on non-TPU backends too (tests: the
+        garbage-page plumbing is otherwise TPU-only code)."""
         cfg = self.config
-        if self.platform != "tpu" or not cfg.warmup_jit or cfg.enforce_eager:
+        if ((self.platform != "tpu" and not force)
+                or not cfg.warmup_jit or cfg.enforce_eager):
             # enforce_eager = one compile per exact shape (the reference's
             # CUDA-graph opt-out, reference: config.py:14): shapes are not
             # known up front, so there is nothing to warm

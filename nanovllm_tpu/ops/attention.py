@@ -168,8 +168,10 @@ def quantize_kv(kv_new, kv_quant: tuple):
         # dynamic leading-dim slices of (2,1)-packed bf16 streams (the store
         # ring kernel's page copy needs a provably-even packed-sublane
         # offset; remote-compile HTTP 500 on v5e), while f32's (1,1) packing
-        # slices anywhere. The sidecar is ~3% (int8_rs) / 6% (int4) of pool
-        # bytes at f32 — capacity-immaterial for an experimental path.
+        # slices anywhere. The stored (128-lane-padded) f32 sidecar is 25%
+        # of int8_rs data bytes / 50% of int4 data bytes — only the 2Hk=16
+        # useful lanes are small; the v6 flat-table layout is what shrinks
+        # the stored overhead to ~3%/6%.
         return qv, pad_kv_scales((absmax * (1.0 / qmax)).astype(jnp.float32))
     raise ValueError(f"unknown kv_quant kind {kind!r}")
 

@@ -71,12 +71,12 @@ hardware-verified) until the v6 compute rewrite lands:
   ~40 VPU ops to 2 matmuls + ~10 VPU ops at identical MXU occupancy
   (M <= 128 rides one pass either way).
 - v6 scales: store K/V scale sidecars as flat 128-lane tables in (t, h)
-  h-minor page blocks ([P, 4, 128] bf16 each for Hk=8/ps=64) so the
+  h-minor page blocks ([P, 4, 128] f32 each for Hk=8/ps=64) so the
   per-chunk scale factors are VMEM gathers whose element order MATCHES
   the all-pairs score columns — the [Tc, 2Hk] transpose relayout, the
   selection matmuls, and the per-page sidecar DMA descriptors all
-  disappear, and the sidecar shrinks 8x (int4 capacity becomes 1.94x
-  int8 instead of 1.6x).
+  disappear, and the sidecar shrinks 8x (with today's padded f32 sidecar
+  int4 capacity is ~1.33x int8; the flat table raises it to ~1.88x).
 
 Numerics: q and p are cast to bf16 before the MXU matmuls in every mode
 (int8/int4 K/V cast to bf16 exactly; softmax statistics and the output
@@ -158,7 +158,8 @@ def _kernel(
     m_ref,             # f32[LG, Hq, 128] running max (lane-replicated cols)
     l_ref,             # f32[LG, Hq, 128] running denom
     acc_ref,           # f32[LG, Hq, D]
-    qs_ref,            # bf16[LG, Hq, D] pre-scaled queries
+    qs_ref,            # i8/bf16[LG, Hq, D] pre-scaled (row-quantized) queries
+    qsc_ref,           # f32[LG, Hq, 128] per-row q dequant scales (int8 MXU)
     *,
     ps: int,
     chunk: int,
@@ -178,27 +179,29 @@ def _kernel(
     D = q_ref.shape[-1]
     with_scales = mode in ("int8_rs", "int4_rs")
     packed_int4 = mode == "int4_rs"
+    # int8x8 MXU path: quantized q . K and p . V on the 394-TOPS int8 pipe
+    # (2x the bf16 tile rate) whenever the page values are already int8.
+    use_int8 = kbuf.dtype == jnp.int8
     issue, wait = _make_dma(kv_lens_ref, page_indices_ref, pages_hbm,
                             scales_hbm, kbuf, sbuf, sems, sems_s, ps=ps,
                             chunk=chunk, lanes=lanes,
                             with_scales=with_scales)
 
-    # Head-slot maps: q head group h reads K at slot k_slot(h), V at
-    # v_slot(h). int4 packs both into slot h (b = 16V + K).
+    # v6 all-pairs geometry: each chunk's pages collapse (leading dims only,
+    # layout-free) to a row matrix [N, D] in (page, pos, slot) order; scores
+    # and PV are ONE matmul each over all N columns, with the GQA head
+    # matching expressed as a column mask instead of per-head slicing.
+    hdim = Hk if packed_int4 else 2 * Hk     # pool head-slot count
+    N = Tc * hdim
+    col_slot = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) % hdim
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) // hdim  # local pos
+    row_group = jax.lax.broadcasted_iota(jnp.int32, (Hq, 1), 0) // G
     if mode == "dense":
-        k_slot = lambda h: 2 * h          # noqa: E731 - interleaved
-        v_slot = lambda h: 2 * h + 1      # noqa: E731
+        k_col = col_slot == 2 * row_group    # interleaved: K even, V odd
+        roll_shift = 1                       # K col -> matching V col
     else:
-        k_slot = lambda h: h              # noqa: E731 - K-first / packed
-        v_slot = lambda h: h if packed_int4 else h + Hk  # noqa: E731
-    if with_scales:
-        # E_k / E_v expand the [2Hk, Tc] transposed scale rows (K-first in
-        # the sidecar) to [Hq, Tc] with one tiny matmul each; per-head row
-        # slices of the result are free.
-        ri = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 0) // G
-        ci = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hk), 1)
-        e_k = (ci == ri).astype(jnp.float32)              # [Hq, 2Hk]
-        e_v = (ci == ri + Hk).astype(jnp.float32)
+        k_col = col_slot == row_group        # K-first / packed
+        roll_shift = 0 if packed_int4 else Hk
 
     # Group-max chunk count: every lane advances through the same number of
     # chunks (chunk-outer / lane-inner pipeline, v4) so `lanes` DMA chains
@@ -220,7 +223,17 @@ def _kernel(
         q = q_ref[li].astype(jnp.float32) * sm_scale      # [Hq, D]
         if kv_scale is not None:
             q = q * kv_scale                  # K dequant rides in with q
-        qs_ref[li] = q.astype(jnp.bfloat16)
+        if use_int8:
+            # dynamic per-row symmetric quant; the dequant scale multiplies
+            # the int32 scores (q error ~0.4% relative, far under the page
+            # quantization noise it rides on)
+            qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                               1e-8)
+            qs_ref[li] = jnp.round(q * (127.0 / qmax)).astype(jnp.int8)
+            qsc_ref[li] = jnp.broadcast_to(qmax * (1.0 / 127.0),
+                                           qsc_ref[li].shape)
+        else:
+            qs_ref[li] = q.astype(jnp.bfloat16)
 
     def body(c, _):
         parity = jax.lax.rem(c, 2)
@@ -242,82 +255,96 @@ def _kernel(
                         jnp.float32)
                 return
 
-            pos = c * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
-            valid = pos < kv_lens_ref[lane]      # [1, Tc]
-
-            def head_rows(slot):
-                """[Tc, D] rows of one head slot across this bank's chunk
-                pages — leading-dim collapse only, layout-preserving."""
-                hv = kbuf[li, pl.ds(bank * chunk, chunk), :, slot, :]
-                hv = hv.reshape(Tc, D)
-                if interpret:
-                    # interpret-mode scratch is NaN-initialized; rows past
-                    # kv_len were never DMA'd and would poison p @ v via
-                    # 0 * NaN. On hardware stale VMEM rows are finite and
-                    # the masked softmax zeroes their weights.
-                    pcol = c * Tc + jax.lax.broadcasted_iota(
-                        jnp.int32, hv.shape, 0)
-                    hv = jnp.where(pcol < kv_lens_ref[lane], hv,
-                                   jnp.zeros_like(hv))
-                return hv
-
-            if with_scales:
-                sc = (sbuf[li, pl.ds(bank * chunk, chunk), :, :2 * Hk]
-                      .reshape(Tc, 2 * Hk))          # bf16 K-first
-                sc_t = jax.lax.transpose(sc.astype(jnp.float32), (1, 0))
-                if interpret:
-                    sc_t = jnp.where(valid, sc_t, 0.0)
-                sck = jax.lax.dot_general(        # [Hq, Tc] K row scales
-                    e_k, sc_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                scv = jax.lax.dot_general(        # [Hq, Tc] V row scales
-                    e_v, sc_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            for h in range(Hk):
-                r = slice(h * G, (h + 1) * G)
-                qh = qs_ref[li, r]                    # bf16 [G, D]
-                if packed_int4:
-                    b32 = head_rows(k_slot(h)).astype(jnp.int32)
-                    v32 = (b32 + 8) >> 4              # V nibble
-                    k32 = b32 - (v32 << 4)            # K nibble
-                    kh = k32.astype(jnp.bfloat16)     # exact, |x| <= 7
-                    vh = v32.astype(jnp.bfloat16)
+            rows = kbuf[li, pl.ds(bank * chunk, chunk)].reshape(N, D)
+            if interpret and not use_int8:
+                # interpret-mode scratch is NaN-initialized; rows past
+                # kv_len were never DMA'd and would poison p @ v via
+                # 0 * NaN. On hardware stale VMEM rows are finite (and the
+                # int8 path cannot produce NaN at all); the masked softmax
+                # zeroes their weights either way.
+                rpos = c * Tc + jax.lax.broadcasted_iota(
+                    jnp.int32, (N, 1), 0) // hdim
+                rows = jnp.where(rpos < kv_lens_ref[lane], rows,
+                                 jnp.zeros_like(rows))
+            if packed_int4:
+                b32 = rows.astype(jnp.int32)
+                v32 = (b32 + 8) >> 4              # V nibble
+                k32 = b32 - (v32 << 4)            # K nibble
+                if use_int8:
+                    k_rows, v_rows = k32.astype(jnp.int8), v32.astype(jnp.int8)
                 else:
-                    kh = head_rows(k_slot(h))
-                    if kh.dtype != jnp.bfloat16:
-                        kh = kh.astype(jnp.bfloat16)  # exact, |x| <= 127
-                    vh = head_rows(v_slot(h))
-                    if vh.dtype != jnp.bfloat16:
-                        vh = vh.astype(jnp.bfloat16)
-                s = jax.lax.dot_general(              # [G, Tc]
-                    qh, kh, (((1,), (1,)), ((), ())),
+                    k_rows, v_rows = (k32.astype(jnp.bfloat16),
+                                      v32.astype(jnp.bfloat16))
+            elif use_int8:
+                k_rows = v_rows = rows            # K/V selected by masks
+            else:
+                k_rows = v_rows = rows.astype(jnp.bfloat16)
+
+            valid = ((c * Tc + col_t) < kv_lens_ref[lane]) & k_col  # [Hq, N]
+
+            # -------- scores: ONE all-pairs matmul [Hq, D] x [N, D]^T
+            if use_int8:
+                s = jax.lax.dot_general(
+                    qs_ref[li], k_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                s = s * qsc_ref[li, :, :1]
+            else:
+                s = jax.lax.dot_general(
+                    qs_ref[li], k_rows, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if with_scales:
-                    s = s * sck[r]
-                s = jnp.where(valid, s, _NEG_INF)
-                m_old = m_ref[li, r]                  # [G, 128]
-                s_max = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_old,
-                                    jnp.broadcast_to(s_max, m_old.shape))
-                alpha = jnp.exp(m_old - m_new)
-                # explicit zero for invalid positions: when every position
-                # so far is invalid (kv_len=0 lanes, overfetched chunks),
-                # s == m_new == -inf and exp(s - m_new) = 1 would accumulate
-                # clamped page-0 data with l = Tc instead of staying 0.
-                p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)
-                l_ref[li, r] = l_ref[li, r] * alpha + jnp.broadcast_to(
-                    jnp.sum(p, axis=1, keepdims=True), alpha.shape)
-                # V row-scale dequant rides on p (it varies along Tc, so it
-                # must multiply before the contraction)
-                pbf = ((p * scv[r]) if with_scales else p).astype(jnp.bfloat16)
-                pv = jax.lax.dot_general(             # [G, D]
-                    pbf, vh, (((1,), (0,)), ((), ())),
+            if with_scales:
+                # flat per-column row scales, element order matching the
+                # (pos, slot) collapse. int4: separate K/V nibble scale
+                # vectors; int8_rs: ONE K-first vector serves the K columns
+                # directly and the V columns after the p roll below.
+                sc = (sbuf[li, pl.ds(bank * chunk, chunk), :, :2 * Hk]
+                      .reshape(Tc, 2 * Hk))        # f32 K-first
+                if packed_int4:
+                    sck = sc[:, :Hk].reshape(1, N)
+                    scv = sc[:, Hk:].reshape(1, N)
+                else:
+                    sck = scv = sc.reshape(1, N)
+                s = s * sck
+            s = jnp.where(valid, s, _NEG_INF)
+
+            # -------- online softmax over all columns (masked cols -> 0)
+            m_old = m_ref[li]                     # [Hq, 128]
+            s_max = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, jnp.broadcast_to(s_max, m_old.shape))
+            alpha = jnp.exp(m_old - m_new)
+            # explicit zero for invalid positions: when every position
+            # so far is invalid (kv_len=0 lanes, overfetched chunks),
+            # s == m_new == -inf and exp(s - m_new) = 1 would accumulate
+            # clamped page-0 data with l = Tc instead of staying 0.
+            p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)
+            l_ref[li] = l_ref[li] * alpha + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), alpha.shape)
+
+            # -------- PV: align p with the V columns, fold in V row scales
+            if with_scales and packed_int4:
+                p = p * scv          # V dequant rides on p (varies per col)
+            if roll_shift:
+                # weight at K column (t, k_slot) moves to the matching V
+                # column; masked zeros rotate into the K columns, so the
+                # all-rows contraction only touches V rows.
+                p = pltpu.roll(p, roll_shift, 1)
+                if with_scales:      # int8_rs: scales are V's at V columns
+                    p = p * scv
+            if use_int8:
+                pmax = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-30)
+                pq = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
+                pv = jax.lax.dot_general(
+                    pq, v_rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv = pv * (pmax * (1.0 / 127.0))
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v_rows, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if kv_scale is not None:
-                    pv = pv * kv_scale   # V dequant (K's rode in with q)
-                acc_ref[li, r] = acc_ref[li, r] * alpha + pv
-                m_ref[li, r] = m_new
+            if kv_scale is not None:
+                pv = pv * kv_scale   # V dequant (K's rode in with q)
+            acc_ref[li] = acc_ref[li] * alpha[:, :D] + pv
+            m_ref[li] = m_new
 
         @pl.when(parity == 0)
         def _():
@@ -334,15 +361,16 @@ def _kernel(
     jax.lax.fori_loop(0, max_nch, body, 0)
     for li in range(lanes):
         o_ref[li] = (acc_ref[li]
-                     / jnp.maximum(l_ref[li], 1e-30)).astype(o_ref.dtype)
+                     / jnp.maximum(l_ref[li, :, :D], 1e-30)).astype(o_ref.dtype)
 
 
 def _kernel_dense_entry(kv_lens_ref, page_indices_ref, q_ref, pages_hbm,
                         o_ref, kbuf, sems, m_ref, l_ref, acc_ref, qs_ref,
-                        **kw):
+                        qsc_ref, **kw):
     """Signature adapter: the dense pool has no scale sidecar operands."""
     _kernel(kv_lens_ref, page_indices_ref, q_ref, pages_hbm, None, o_ref,
-            kbuf, None, sems, None, m_ref, l_ref, acc_ref, qs_ref, **kw)
+            kbuf, None, sems, None, m_ref, l_ref, acc_ref, qs_ref, qsc_ref,
+            **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_scale", "kv_mode",
@@ -384,11 +412,15 @@ def flash_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     kw = dict(ps=ps, chunk=chunk, lanes=lanes, num_heads=Hq,
               num_kv_heads=Hk, sm_scale=sm_scale, kv_scale=kv_scale,
               mode=kv_mode, interpret=interpret, debug=debug)
+    use_int8 = kv_pages.dtype == jnp.int8
     common_scratch = [
         pltpu.VMEM((lanes, Hq, 128), jnp.float32),   # m
         pltpu.VMEM((lanes, Hq, 128), jnp.float32),   # l
         pltpu.VMEM((lanes, Hq, D), jnp.float32),     # acc
-        pltpu.VMEM((lanes, Hq, D), jnp.bfloat16),    # pre-scaled q
+        # pre-scaled queries: row-quantized int8 on the int8-MXU path
+        pltpu.VMEM((lanes, Hq, D),
+                   jnp.int8 if use_int8 else jnp.bfloat16),
+        pltpu.VMEM((lanes, Hq, 128), jnp.float32),   # q row dequant scales
     ]
 
     if not rs:

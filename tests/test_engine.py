@@ -364,3 +364,31 @@ def test_partial_kv_reservation_matches_full(tiny_checkpoint, rng):
     b = tight.generate(prompts, sp, use_tqdm=False)
     for x, y in zip(a, b):
         assert x["token_ids"] == y["token_ids"]
+
+
+def test_warmup_jit_runs_on_cpu(tiny_checkpoint, rng):
+    """warmup_jit(force=True) exercises the garbage-page warmup plumbing on
+    the CPU backend (it is gated to TPU in production, so without this the
+    multichip dryrun never covers it). After warmup the engine must still
+    generate correctly — warmup writes target only the garbage page and the
+    token buffer is reset afterwards."""
+    llm = LLM(
+        tiny_checkpoint,
+        max_model_len=64,
+        max_num_batched_tokens=128,
+        max_num_seqs=4,
+        kvcache_block_size=8,
+        num_kvcache_blocks=48,
+        decode_bs_buckets=(2, 4),
+        prefill_token_buckets=(64, 128),
+        attention_impl="xla",
+        warmup_topkp=False,
+    )
+    mr = llm.model_runner
+    assert mr.platform != "tpu"  # this test is about the non-TPU path
+    mr.warmup_jit(force=True)
+    assert np.asarray(mr.last_tokens).sum() == 0  # reset after warmup
+    prompts = [rng.integers(0, 512, size=7).tolist()]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert len(outs[0]["token_ids"]) == 6

@@ -52,8 +52,11 @@ def test_flash_decode_matches_oracle(chunk, lanes):
 def test_flash_decode_rowscale(kind):
     """Per-(row, head)-scale pools (int8 / nibble-packed int4): the kernel's
     in-VMEM dequant (+ unpack) matches a dense oracle over the dequantized
-    rows, within the mode's quantization-free tolerance (the oracle reads
-    the SAME quantized values, so this is exact up to fp accumulation)."""
+    rows. The oracle reads the SAME quantized page values, but the v6
+    int8x8-MXU compute path adds its own bounded noise on top: q rows and
+    p rows are dynamically int8-quantized for the MXU (~0.4% each), which
+    compounds to ~1-2% relative on the outlier-magnitude outputs below —
+    an order under the int4 page quantization error it rides on."""
     from nanovllm_tpu.ops.attention import (quantize_kv, take_kv_scales,
                                             unpack_int4)
     rng = np.random.default_rng(2)
@@ -89,9 +92,10 @@ def test_flash_decode_rowscale(kind):
             for g in range(2):
                 ref = _oracle(deq, np.asarray(q[i, 2 * h + g]), pi[i],
                               kv_lens[i], h, g, 0.0883)
-                # bf16 compute path: 0.4% relative on outlier-magnitude rows
+                # int8x8 compute path: ~1-2% relative on outlier-magnitude
+                # rows (q + p dynamic int8 quant; see docstring)
                 np.testing.assert_allclose(out[i, 2 * h + g], ref,
-                                           rtol=1.5e-2, atol=3e-2)
+                                           rtol=4e-2, atol=1.2e-1)
 
 
 def test_rowscale_quant_roundtrip_quality():
