@@ -125,21 +125,17 @@ class Config:
     # 128-lane-padded f32 sidecar adds 25% to int8 page bytes); "int4"
     # halves the data bytes again — K|V nibbles of each head pair packed per
     # byte, same per-row scales (the padded sidecar is then 50% of the
-    # 512 B/row data, so int4 capacity is ~1.33x int8 until the flat-table
-    # sidecar lands). The reference reserves this knob but never implements
-    # it (config.py:24 comment). The _rs/int4 pools are readable only by the
-    # in-house flash-decode kernel and the scratch-dequant prefill path
-    # (models/qwen3.py), not the library ragged kernel.
+    # 512 B/row data, so int4 capacity is ~1.33x int8). The reference
+    # reserves this knob but never implements it (config.py:24 comment).
+    # The _rs/int4 pools are served prefill AND decode by the in-house
+    # quantized ragged kernel (ops/pallas/ragged_quant.py), which round-4
+    # measured at 0.72x the library int8 kernel's decode wall.
     kv_cache_dtype: str = "auto"      # auto | int8 | fp8 | int8_rs | int4
     # Global dequant scale for plain int8 KV (stored = round(x / scale)).
     # Qwen3's per-head q/k RMSNorm keeps |k| ~ O(1); for int8, 1/16 covers
     # ±7.9 with ~0.03 rounding noise. fp8 (e4m3) and the row-scale modes
     # need no global scale.
     kv_cache_scale: float = 0.0625
-    # Row-scale KV prefill: max pages a prefill batch's contexts may span
-    # (sizes the bf16 scratch pool the batch's pages are dequantized into).
-    # -1 = auto: new-token pages + one max-length context worth.
-    prefill_page_cap: int = -1
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
     # Admit a prefill only when its worst-case final KV footprint
     # (prompt + max_tokens, clipped to max_model_len) fits alongside all
@@ -235,13 +231,14 @@ class Config:
                 f"attention_impl must be one of 'auto', 'ragged', 'xla', "
                 f"'flash'; got {self.attention_impl!r}")
         if self.kv_cache_dtype in ("int8_rs", "int4"):
-            # rs pools decode through the flash-decode kernel, which requires
-            # head_dim 128 (flash_decode.py asserts it at dispatch; fail at
-            # config time instead). The XLA oracle path (tests) is generic.
+            # rs pools are served by the in-house quantized ragged kernel
+            # (ops/pallas/ragged_quant.py), whose lane geometry assumes
+            # head_dim 128 (the model family's value). The XLA oracle path
+            # (tests) is generic.
             if self.attention_impl != "xla" and self.hf_config.head_dim != 128:
                 raise ValueError(
                     f"kv_cache_dtype={self.kv_cache_dtype!r} requires "
-                    f"head_dim 128 (flash-decode kernel), got "
+                    f"head_dim 128 (ragged_quant kernel), got "
                     f"{self.hf_config.head_dim}")
             if self.tensor_parallel_size != 1:
                 # rs pools are K-first ([0:Hk]=K, [Hk:]=V): sharding the
@@ -251,16 +248,18 @@ class Config:
                     f"kv_cache_dtype={self.kv_cache_dtype!r} does not "
                     f"compose with tensor_parallel_size="
                     f"{self.tensor_parallel_size} yet (K-first pool layout)")
-        if self.kv_cache_dtype in ("int8_rs", "int4") and self.prefill_page_cap <= 0:
-            ps = self.kvcache_block_size
-            self.prefill_page_cap = (self.max_num_batched_tokens // ps
-                                     + self.max_model_len // ps + 1)
         if self.attn_blocks_decode == "auto":
-            # block optima differ by page dtype (tools/attn_tune.py sweeps):
-            # int8 pages want (16, 8); bf16 pages want (8, 16)
-            self.attn_blocks_decode = ((16, 8) if self.kv_cache_dtype
-                                       in ("int8", "fp8", "int8_rs", "int4")
-                                       else (8, 16))
+            # block optima differ by page dtype and kernel
+            # (tools/attn_tune.py + tools/ragged_quant_validate.py sweeps):
+            # library kernel on int8 pages wants (16, 8), bf16 (8, 16); the
+            # in-house quantized ragged kernel (rs pools) measured best at
+            # (4, 8) for B=256/ctx=1k decode
+            if self.kv_cache_dtype in ("int8_rs", "int4"):
+                self.attn_blocks_decode = (4, 8)
+            elif self.kv_cache_dtype in ("int8", "fp8"):
+                self.attn_blocks_decode = (16, 8)
+            else:
+                self.attn_blocks_decode = (8, 16)
         if self.attention_impl == "xla":
             # The masked-softmax oracle materializes [T, B-context] fp32
             # scores; bound the batch so it stays test-sized. The Pallas

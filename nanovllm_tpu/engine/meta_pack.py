@@ -25,22 +25,19 @@ import numpy as np
 
 class PackLayout(NamedTuple):
     """Static sizes of the fixed sections. B = max sequence lanes,
-    W = page-table width, NP/NS = store-table capacities, NSP = scratch
-    page-list capacity for row-scale KV prefill (1 = feature off)."""
+    W = page-table width, NP/NS = store-table capacities."""
 
     B: int
     W: int
     NP: int
     NS: int
-    NSP: int = 1
 
 
 def _prefill_fixed(layout: PackLayout) -> int:
-    B, W, NP, NS, NSP = layout
+    B, W, NP, NS = layout
     # kv_lens, cu(B+1), num_seqs, last_idx, slot_ids, top_ks, pages, store,
-    # ctr (+ scratch page list / remapped table for row-scale KV)
-    scratch = NSP + (B * W if NSP > 1 else 1)
-    return 5 * B + 4 + B * W + 2 * NP + 3 * NS + 1 + scratch
+    # ctr
+    return 5 * B + 4 + B * W + 2 * NP + 3 * NS + 1
 
 
 def prefill_i32_size(T: int, layout: PackLayout) -> int:
@@ -49,7 +46,7 @@ def prefill_i32_size(T: int, layout: PackLayout) -> int:
 
 def split_prefill_i32(buf, layout: PackLayout):
     """-> (dict of named sections, T). Works on numpy (views) and jnp."""
-    B, W, NP, NS, NSP = layout
+    B, W, NP, NS = layout
     total = buf.shape[0]
     T = (total - _prefill_fixed(layout)) // 3
     o = 0
@@ -78,9 +75,6 @@ def split_prefill_i32(buf, layout: PackLayout):
         store_row_dst_pos=take(NS),
         store_counts=take(2),
         step_ctr=take(1),
-        scratch_pages=take(NSP),
-        scratch_page_indices=(take(B * W).reshape(B, W) if NSP > 1
-                              else take(1)),
     )
     assert o == total, (o, total)
     return v, T

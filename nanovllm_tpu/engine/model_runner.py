@@ -164,13 +164,10 @@ class ModelRunner:
         # packed-metadata layout: all per-call int fields ride in ONE i32
         # upload (floats in one f32) — the per-transfer latency of a remote
         # PJRT transport makes per-field uploads the dominant prep cost
-        rs_kv = self.kv_quant is not None and self.kv_quant[0] in (
-            "int8_rs", "int4_rs")
         self.pack_layout = PackLayout(
             B=config.max_num_seqs, W=self.table_width,
             NP=config.max_num_batched_tokens // self.page_size + config.max_num_seqs,
-            NS=config.max_num_seqs,
-            NSP=config.prefill_page_cap if rs_kv else 1)
+            NS=config.max_num_seqs)
 
     def _replicate(self, x):
         """Place host data on the runner's device(s): replicated over the mesh
@@ -359,17 +356,8 @@ class ModelRunner:
                 # warmup peak; we budget analytically)
                 act = cfg.max_num_batched_tokens * hf.hidden_size * 2 * 24
                 logits = cfg.max_num_seqs * hf.vocab_size * 4 * 2
-                scratch = 0
-                if self.kv_quant is not None and self.kv_quant[0] in (
-                        "int8_rs", "int4_rs"):
-                    # rs prefill dequantizes the batch's pages into a bf16
-                    # scratch pool per layer-call (models/qwen3.py); budget
-                    # 2x (XLA may double-buffer it across the scan) — the
-                    # round-3 rs run OOM'd at runtime without this
-                    scratch = (2 * cfg.prefill_page_cap * self.page_size
-                               * 2 * hf.num_key_value_heads * hf.head_dim * 2)
                 budget = (int(limit * cfg.gpu_memory_utilization)
-                          - in_use - act - logits - scratch)
+                          - in_use - act - logits)
                 cfg.num_kvcache_blocks = max(budget, 0) // self._page_bytes() - 1
             else:  # CPU / unknown backend: small default for tests
                 cfg.num_kvcache_blocks = max(
@@ -450,10 +438,6 @@ class ModelRunner:
         input_ids, page_indices = v["input_ids"], v["page_indices"]
         slot_ids, top_ks = v["slot_ids"], v["top_ks"]
         temps, top_ps = fv["temperatures"], fv["top_ps"]
-        scratch_slots: dict[int, int] | None = None
-        if layout.NSP > 1:  # row-scale KV: compact page list for the
-            scratch_slots = {}  # scratch-dequant prefill (models/qwen3.py)
-            v["scratch_pages"][:] = cfg.num_kvcache_blocks  # garbage pad
         for i, seq in enumerate(seqs):
             input_ids[starts[i]:starts[i + 1]] = seq.token_ids[int(cached_lens[i]):]
             page_indices[i, :len(seq.block_table)] = seq.block_table
@@ -461,15 +445,6 @@ class ModelRunner:
             slot_ids[i] = seq.slot if seq.slot is not None else i
             top_ks[i] = seq.top_k
             top_ps[i] = seq.top_p
-            if scratch_slots is not None:
-                npages = (int(kv_lens[i]) + ps - 1) // ps
-                for j, pid in enumerate(seq.block_table[:npages]):
-                    s = scratch_slots.setdefault(pid, len(scratch_slots))
-                    v["scratch_pages"][s] = pid
-                    v["scratch_page_indices"][i, j] = s
-        if scratch_slots is not None:
-            assert len(scratch_slots) <= layout.NSP, \
-                (len(scratch_slots), layout.NSP)
         v["cu_q_lens"][1:n + 1] = starts[1:]
         v["cu_q_lens"][n + 1:] = qo
         v["num_seqs"][0] = n
@@ -586,10 +561,7 @@ def _prefill_step_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
         store_row_src=v["store_row_src"],
         store_row_dst_page=v["store_row_dst_page"],
         store_row_dst_pos=v["store_row_dst_pos"],
-        store_counts=v["store_counts"],
-        scratch_pages=(v["scratch_pages"] if layout.NSP > 1 else None),
-        scratch_page_indices=(v["scratch_page_indices"] if layout.NSP > 1
-                              else None))
+        store_counts=v["store_counts"])
     key = jax.random.fold_in(base_key, v["step_ctr"][0])
     return _prefill_step(params, kv_pages, last_tokens, meta, v["input_ids"],
                          key, sc=sc, use_topkp=use_topkp)

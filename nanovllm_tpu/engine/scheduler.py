@@ -61,11 +61,6 @@ class Scheduler:
         # reservation. The fraction is the expected completion ratio of the
         # workload; 0.5 matches uniform-random output lengths.
         self.reserve_frac = config.kv_reserve_fraction
-        # Row-scale KV: a prefill batch's contexts must fit the bf16 scratch
-        # pool (models/qwen3.py dequant-gather); -1 = unconstrained. The cap
-        # always covers one max-length sequence, so no prompt can starve.
-        self.prefill_page_cap = config.prefill_page_cap \
-            if config.kv_cache_dtype in ("int8_rs", "int4") else -1
         self.total_blocks = config.num_kvcache_blocks
         self.committed_blocks = 0
         self.num_committed_seqs = 0
@@ -121,20 +116,15 @@ class Scheduler:
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
-        num_context_pages = 0
-        bs = self.block_manager.block_size
         while self.waiting and num_seqs < self.max_num_seqs and self.free_slots:
             seq = self.waiting[0]
             new_tokens = len(seq) - seq.num_cached_tokens
-            seq_pages = (len(seq) + bs - 1) // bs + 1
             # the soft cap only applies once the batch is non-empty: a lone
             # prompt of exactly max_num_batched_tokens tokens must still be
             # schedulable (it pays the one-off double-bucket spill instead
             # of starving)
             if ((num_batched_tokens + new_tokens > token_cap and scheduled)
                     or num_batched_tokens + new_tokens > self.max_num_batched_tokens
-                    or (self.prefill_page_cap > 0 and scheduled
-                        and num_context_pages + seq_pages > self.prefill_page_cap)
                     or not self.block_manager.can_allocate(seq)):
                 break
             if (self.reserve_on_admit
@@ -143,7 +133,6 @@ class Scheduler:
                     and self.num_committed_seqs > 0):
                 break
             num_seqs += 1
-            num_context_pages += seq_pages
             self._commit(seq)
             self.block_manager.allocate(seq)
             num_batched_tokens += len(seq) - seq.num_cached_tokens

@@ -172,40 +172,15 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
         # same static dispatch store_kv uses to pick its kernel
         is_decode = meta.store_page_src.shape[0] == 1
         blocks = sc.attn_blocks_decode if is_decode else sc.attn_blocks_prefill
-        if (isinstance(kv_pages, tuple) and not is_decode
-                and meta.scratch_pages is not None
-                and meta.scratch_pages.shape[0] > 1):
-            # Row-scale KV prefill: the library ragged kernel cannot read a
-            # per-row-scaled (let alone nibble-packed) pool, so gather this
-            # batch's pages (post-store: attention must see the quantized
-            # new tokens, matching decode numerics), dequantize them into a
-            # bf16 scratch pool, and attend over it with the remapped table.
-            # Bounded by the scheduler's prefill page cap (scheduler.py).
-            pages, spool = kv_pages
-            sp = meta.scratch_pages + layer_idx * sc.pages_per_layer
-            rows = jnp.take(pages, sp, axis=0)        # [NSP, ps, {2Hk|Hk}, D]
-            if sc.kv_quant[0] == "int4_rs":
-                rows = attn_ops.unpack_int4(rows)     # b=16V+K → [.., 2Hk, D]
-            scl = attn_ops.take_kv_scales(
-                jnp.take(spool, sp, axis=0), rows.shape[2])  # [NSP, ps, 2Hk]
-            deq = (rows.astype(jnp.float32)
-                   * scl[..., None].astype(jnp.float32)).astype(x.dtype)
-            # rs pools are K-first (ops/attention.quantize_kv); the library
-            # ragged kernel wants interleaved combined heads — restripe
-            Hk = deq.shape[2] // 2
-            scratch = jnp.stack([deq[:, :, :Hk], deq[:, :, Hk:]],
-                                axis=3).reshape(deq.shape)
-            smeta = meta._replace(page_indices=meta.scratch_page_indices)
-            o = attn_ops.paged_attention(
-                q, scratch, smeta, 0, scale, impl=sc.attention_impl,
-                page_size=sc.page_size, pages_per_layer=0,
-                blocks=blocks, kv_quant=None)
-        else:
-            o = attn_ops.paged_attention(
-                q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
-                page_size=sc.page_size, pages_per_layer=sc.pages_per_layer,
-                blocks=blocks, kv_quant=sc.kv_quant,
-                flash_blocks=sc.flash_decode_blocks)
+        # row-scale pools route to the in-house quantized ragged kernel
+        # inside paged_attention (prefill and decode both — the round-3
+        # bf16 scratch-dequant prefill detour and its +24% tax are gone)
+        o = attn_ops.paged_attention(
+            q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
+            page_size=sc.page_size, pages_per_layer=sc.pages_per_layer,
+            blocks=blocks, kv_quant=sc.kv_quant,
+            flash_blocks=sc.flash_decode_blocks,
+            interpret=sc.store_interpret)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
     return out, kv_pages
 

@@ -57,11 +57,6 @@ class AttnMeta(NamedTuple):
     store_row_dst_page: jax.Array  # i32[NS] logical page ids
     store_row_dst_pos: jax.Array   # i32[NS]
     store_counts: jax.Array     # i32[2]
-    # row-scale KV prefill (None otherwise): compact list of this batch's
-    # logical pages to dequantize into the bf16 scratch pool (padded with the
-    # garbage page), and the page table remapped into scratch positions
-    scratch_pages: jax.Array | None = None        # i32[NSP]
-    scratch_page_indices: jax.Array | None = None  # i32[B, W]
 
 
 class DecodeMeta(NamedTuple):
@@ -224,15 +219,17 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
 def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
                     impl: str, page_size: int, pages_per_layer: int,
                     blocks: tuple | None = None, kv_quant: tuple | None = None,
-                    flash_blocks: tuple | None = None):
+                    flash_blocks: tuple | None = None,
+                    interpret: bool = False):
     """Ragged attention of the q stream against layer ``layer_idx``'s pages.
 
     ``blocks``: optional (num_kv_pages_per_block, num_queries_per_block)
-    override for the ragged kernel (the library's auto-tune table has no
+    override for the ragged kernels (the library's auto-tune table has no
     entries for this GQA shape on v5e). ``kv_quant``: ("int8"|"fp8", scale)
     when the page pool is quantized — the kernel dequantizes in-VMEM; the
-    row-scale modes ("int8_rs"/"int4_rs") carry a (pages, scales) tuple pool
-    that only the in-house flash-decode kernel / XLA oracle can read."""
+    row-scale modes ("int8_rs"/"int4_rs") carry a (pages, scales) tuple
+    pool, served prefill AND decode by the in-house quantized ragged kernel
+    (ops/pallas/ragged_quant.py)."""
     kind = kv_quant[0] if kv_quant is not None else None
     kv_scales = None
     if isinstance(kv_pages, tuple):
@@ -241,23 +238,28 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     is_decode = meta.store_page_src.shape[0] == 1  # decode-scan meta shape
     kv_scale = (kv_quant[1] if kv_quant is not None
                 and kind not in ("int8_rs", "int4_rs") else None)
-    if is_decode and (impl == "flash"
-                      or (kv_scales is not None and impl != "xla")):
+    if kv_scales is not None and impl != "xla":
+        # row-scale pools (per-(row, head) sidecar, int4 nibble packing):
+        # the in-house kernel reads them natively — no scratch dequant
+        from nanovllm_tpu.ops.pallas.ragged_quant import ragged_quant_attention
+        bkv, bq = blocks if blocks is not None else (16, 8 if is_decode
+                                                     else 256)
+        return ragged_quant_attention(
+            q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
+            meta.num_seqs, kv_scales, sm_scale=scale, kv_mode=kind,
+            num_kv_pages_per_block=bkv, num_queries_per_block=bq,
+            interpret=interpret)
+    if is_decode and impl == "flash":
         # decode-scan step: q rows ARE lanes (T == B, identity slot map per
         # engine/model_runner._decode_steps); inactive lanes read 0 context
         from nanovllm_tpu.ops.pallas.flash_decode import flash_decode_attention
         lens = jnp.where(meta.q_segment_ids >= 0, meta.kv_lens, 0)
-        kv_mode = kind if kind in ("int8_rs", "int4_rs") else "dense"
         fkw = {}
         if flash_blocks is not None:
             fkw = {"lanes_per_step": flash_blocks[0], "chunk": flash_blocks[1]}
         return flash_decode_attention(
             q, kv_pages, lens, page_indices, sm_scale=scale,
-            kv_scale=kv_scale, kv_scales=kv_scales, kv_mode=kv_mode, **fkw)
-    if kv_scales is not None and impl != "xla":
-        raise NotImplementedError(
-            "row-scale KV prefill requires the scratch-dequant path "
-            "(attention_impl='xla' covers tests)")
+            kv_scale=kv_scale, kv_mode="dense", **fkw)
     # "flash" = in-house flash decode + library ragged prefill; prefill must
     # NEVER fall through to the O(T*B*W*ps)-memory XLA oracle on TPU.
     if impl in ("ragged", "flash"):

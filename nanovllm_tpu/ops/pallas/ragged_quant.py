@@ -1,0 +1,473 @@
+"""Quantized ragged paged attention — the in-house kernel for sub-byte and
+row-scaled KV pools, prefill AND decode (mixed batches included).
+
+Replaces both reference flash-attn entry points for quantized pools
+(reference: nanovllm/layers/attention.py:67-74) and completes SURVEY §2.9's
+"the build writes the kernel itself" mapping: the library ragged kernel
+(jax.experimental.pallas.ops.tpu.ragged_paged_attention) cannot read
+nibble-packed pages or per-(row, head) scale sidecars, which previously
+forced the rs modes through a bf16 scratch-dequant prefill detour (+24%
+measured) and a separate decode-only kernel.
+
+Loop architecture derived from the in-tree JAX kernel (Apache-2.0,
+jax/experimental/pallas/ops/tpu/ragged_paged_attention/kernel.py) — the
+grid/seq/kv-block walk, double-buffered multi-page DMA, and masked
+online-softmax accumulation follow its design, which round-3 measurements
+put at ~88% of HBM peak (speed-of-light for dense int8 pages). What's new,
+and why it goes *below* that floor on int4 pools:
+
+- **Nibble-packed int4 pages** [P, ps, Hk, D] (byte b = 16*V + K): half the
+  data bytes of int8 pages. K/V head planes are extracted with the
+  uint32-bitcast strided-row trick (one strided load shared by 4 byte
+  planes) plus two integer VPU ops per plane — no strided sub-tile loads
+  (the hidden relayout cost measured in flash_decode v5).
+- **int8 x int8 MXU matmuls**: q rows are row-quantized to int8 ONCE per
+  grid step into a head-major scratch (scale folded into the score
+  dequant); dense-mode p rows likewise for the PV contraction. Both
+  matmuls then ride the v5e's 394-TOPS int8 pipe at 2x the bf16 tile rate
+  (rs modes keep bf16 PV: per-row V scales fold into p, whose dynamic
+  range would crush an int8 row quant — measured 6% output error).
+- **Per-(row, head) scale sidecar** [P, ps, SW] f32 (K-first lanes, see
+  ops.attention.kv_scale_width), DMA'd alongside the data pages. Scales
+  apply *compactly*: one [Tkv, 2Hk] -> [2Hk, Tkv] transpose per kv-block,
+  then per-head [1, Tkv] row slices multiply the scores (K) and the
+  probabilities (V). This sidesteps the all-pairs layout's per-column
+  "lane-stretch", which Mosaic cannot do efficiently (reshape: unsupported
+  shape cast; roll: 49 us; gather: unsupported — tools/stretch_probe.py).
+- **Head-major row order**: q/acc live as [Hq, bq, D] scratch so per-head
+  slices collapse leading dims only; the causal/store masks are shared
+  across the head loop (row token = row % bq). One [bq, Hq] <-> [Hq, bq]
+  transpose per grid step replaces 8 sub-tile head slices per kv block.
+
+Modes:
+  int4_rs — [P, ps, Hk, D] packed nibbles + f32 scale sidecar
+  int8_rs — [P, ps, 2Hk, D] int8, K-first head axis + f32 scale sidecar
+  int8    — [P, ps, 2Hk, D] int8, interleaved (library layout), global
+            k/v scale; dense decode/prefill on the int8-MXU path
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class _PageCopies:
+    """Async copies of one kv block's data pages (and scale pages)."""
+
+    def __init__(self, pages_hbm, scales_hbm, kv_buf, sc_buf, sem,
+                 page_indices_ref, seq_id, start_page, end_page):
+        self._copies = []
+        for i in range(kv_buf.shape[0]):
+            page_idx = start_page + i
+            page_idx = lax.select(page_idx < end_page, page_idx, 0)
+            pid = page_indices_ref[seq_id, page_idx]
+            self._copies.append(
+                pltpu.make_async_copy(pages_hbm.at[pid], kv_buf.at[i], sem))
+            if scales_hbm is not None:
+                self._copies.append(
+                    pltpu.make_async_copy(scales_hbm.at[pid], sc_buf.at[i],
+                                          sem))
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _plane_loader(kv_ref, *, mode, num_kv_heads, interpret):
+    """Returns get(h) -> (k_h, v_h) int8 [Tkv, head_dim] head planes from
+    the flattened combined-row view [Tkv * hdim, head_dim].
+
+    Extraction uses uint32-bitcast strided row loads (4 int8 sublanes pack
+    per word), each shared by the 4 byte planes it contains — no sub-tile
+    strided slice is ever issued. Interpret mode (CPU tests) falls back to
+    plain strided ref loads (refs don't support bitcast there)."""
+    Hk = num_kv_heads
+    cache = {}
+
+    def packed(row):
+        """uint32 strided load covering combined rows 4*(row//4)..+3."""
+        j = row // 4
+        if j not in cache:
+            step = (Hk if mode == "int4_rs" else 2 * Hk) // 4
+            cache[j] = kv_ref.bitcast(jnp.uint32)[j::step, :]
+        return cache[j]
+
+    def byte_plane(row):
+        b = packed(row) >> jnp.uint32(8 * (row % 4))
+        return pltpu.bitcast(b.astype(jnp.uint8), jnp.int8)
+
+    def get(h):
+        if mode == "int4_rs":
+            if interpret:
+                plane = kv_ref[h::Hk, :].astype(jnp.int32)
+            else:
+                plane = byte_plane(h).astype(jnp.int32)
+            v32 = (plane + 8) >> 4                 # V nibble
+            k32 = plane - (v32 << 4)               # K nibble
+            return k32.astype(jnp.int8), v32.astype(jnp.int8)
+        # int8 rows: hdim = 2Hk. K-first: K_h at combined row h, V_h at
+        # Hk + h; interleaved (dense): K_h at 2h, V_h at 2h + 1.
+        k_row, v_row = ((h, Hk + h) if mode == "int8_rs"
+                        else (2 * h, 2 * h + 1))
+        if interpret:
+            return kv_ref[k_row::2 * Hk, :], kv_ref[v_row::2 * Hk, :]
+        return byte_plane(k_row), byte_plane(v_row)
+
+    return get
+
+
+def _kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[max_num_seqs]
+    page_indices_ref,  # i32[max_num_seqs, pages_per_seq]
+    cu_q_lens_ref,     # i32[max_num_seqs + 1]
+    seq_buf_idx_ref,   # i32[2]
+    num_seqs_ref,      # i32[1]
+    # inputs
+    q_ref,             # [bq, Hq, D] this q block
+    pages_hbm,         # data page pool (ANY)
+    scales_hbm,        # [P, ps, SW] f32 scale pool (ANY), or None
+    # output
+    o_ref,             # [bq, Hq, D]
+    # scratch
+    kv_bufs,           # [2, bkv, ps, hdim, D] int8
+    sc_bufs,           # [2, bkv, ps, SW] f32, or None
+    sems,              # DMA [2]
+    l_ref,             # f32[Hk, G * bq, 128]   rows in (g, token) order
+    m_ref,             # f32[Hk, G * bq, 128]
+    acc_ref,           # f32[Hq, bq, D]         head-major
+    qi8_ref,           # i8[Hq, bq, D]          row-quantized q, head-major
+    qsc_ref,           # f32[Hq, bq, 128]       q row dequant scales
+    *,
+    sm_scale: float,
+    mode: str,
+    kv_scale: float | None,
+    num_kv_heads: int,
+    mask_value: float = _MASK_VALUE,
+    interpret: bool = False,
+):
+    bq, Hq, D = q_ref.shape
+    Hk = num_kv_heads
+    G = Hq // Hk
+    M = G * bq
+    pages_per_seq = page_indices_ref.shape[-1]
+    num_seqs = num_seqs_ref[0]
+    _, bkv, page_size, hdim, _ = kv_bufs.shape
+    kv_per_blk = bkv * page_size
+    with_scales = mode in ("int8_rs", "int4_rs")
+    q_blk_idx = pl.program_id(0)
+    init_seq_idx = seq_buf_idx_ref[0]
+    init_buf_idx = seq_buf_idx_ref[1]
+    q_len_start = q_blk_idx * bq
+    q_len_end = q_len_start + bq
+
+    def make_copies(seq_idx, kv_blk_idx, buf_idx):
+        start = kv_blk_idx * bkv
+        end = jnp.minimum(pages_per_seq,
+                          pl.cdiv(kv_lens_ref[seq_idx], page_size))
+        return _PageCopies(
+            pages_hbm, scales_hbm, kv_bufs.at[buf_idx],
+            None if sc_bufs is None else sc_bufs.at[buf_idx],
+            sems.at[buf_idx], page_indices_ref, seq_idx, start, end)
+
+    @pl.when(q_blk_idx == 0)
+    def _prefetch_first():
+        make_copies(init_seq_idx, 0, init_buf_idx).start()
+
+    # ---- once per grid step: head-major row-quantized q ------------------
+    qt = lax.transpose(q_ref[...], (1, 0, 2)).astype(jnp.float32)  # [Hq,bq,D]
+    qt = qt * (sm_scale if kv_scale is None else sm_scale * kv_scale)
+    qmax = jnp.maximum(jnp.max(jnp.abs(qt), axis=2, keepdims=True), 1e-8)
+    qi8_ref[...] = jnp.round(qt * (127.0 / qmax)).astype(jnp.int8)
+    qsc_ref[...] = jnp.broadcast_to(qmax * (1.0 / 127.0), qsc_ref.shape)
+    # constant mask geometry, shared by every (seq, kv-block, head):
+    # row r of a per-head [M, Tkv] tile is token (r % bq)
+    tok_minus_col = (lax.broadcasted_iota(jnp.int32, (M, kv_per_blk), 0) % bq
+                     - lax.broadcasted_iota(jnp.int32, (M, kv_per_blk), 1))
+
+    def is_cur_q_blk_needed(state):
+        done, cur_seq, _ = state
+        return jnp.logical_and(
+            done == 0,
+            jnp.logical_and(q_len_start < cu_q_lens_ref[num_seqs],
+                            cur_seq < num_seqs))
+
+    def compute_q_blk(state):
+        done, cur_seq, cur_buf = state
+        q_start = cu_q_lens_ref[cur_seq]
+        q_end = cu_q_lens_ref[cur_seq + 1]
+        q_len = q_end - q_start
+        kv_len = kv_lens_ref[cur_seq]
+        store_start = jnp.maximum(q_start - q_len_start, 0)
+        store_end = jnp.minimum(q_end - q_len_start, bq)
+
+        def next_ids(kv_blk_idx, cur_buf):
+            next_kv = kv_blk_idx + 1
+            last_kv = next_kv * kv_per_blk >= kv_len
+            next_kv = lax.select(last_kv, 0, next_kv)
+            seq_done = q_end <= q_len_end
+            next_seq = lax.select(last_kv,
+                                  lax.select(seq_done, cur_seq + 1, cur_seq),
+                                  cur_seq)
+            # single q-block grid with all heads resident: past the last
+            # seq there is nothing left to prefetch
+            valid = next_seq < num_seqs
+            next_seq = lax.select(valid, next_seq, 0)
+            return valid, next_seq, next_kv, lax.select(cur_buf == 0, 1, 0)
+
+        def masked_store_rows(ref, val):
+            """Store only this sequence's token rows (token = row % bq)."""
+            tok = lax.broadcasted_iota(jnp.int32, ref.shape, 0) % bq
+            pltpu.store(ref, val, mask=jnp.logical_and(
+                tok >= store_start, tok < store_end))
+
+        def masked_store_acc(ref, val):
+            tok = lax.broadcasted_iota(jnp.int32, ref.shape, 1)
+            pltpu.store(ref, val, mask=jnp.logical_and(
+                tok >= store_start, tok < store_end))
+
+        def head_attention(h, k, v, sck, scv, mask_add, kv_blk_idx):
+            """One head's masked online-softmax block update (library-style
+            renormalize-every-block accumulation, masked to this sequence's
+            token rows). k/v [Tkv, D] int8; sck/scv [1, Tkv] or None."""
+            head_l = l_ref.at[h]
+            head_m = m_ref.at[h]
+            head_acc = acc_ref.at[pl.ds(h * G, G)]          # [G, bq, D]
+
+            def load_with_init(ref, init_val):
+                return jnp.where(kv_blk_idx == 0,
+                                 jnp.full_like(ref, init_val), ref[...])
+
+            q_i8 = qi8_ref[pl.ds(h * G, G)].reshape(M, D)   # (g, token) rows
+            qsc = qsc_ref[pl.ds(h * G, G)].reshape(M, 128)[:, :1]
+            s = lax.dot_general(q_i8, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            s = s.astype(jnp.float32) * qsc
+            if sck is not None:
+                s = s * sck
+            s += mask_add
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m_curr)
+            # softmax denominator uses the raw exp weights; V row scales
+            # affect only the numerator (they dequantize V)
+            l_sum = p.sum(axis=1, keepdims=True)
+            if scv is None:
+                # dense: int8 MXU PV. p rows are plain softmax weights with
+                # max exactly 1, so per-row absmax quant loses < 1/254 of
+                # the weight mass
+                pmax = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-30)
+                p_i8 = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
+                pv = lax.dot_general(p_i8, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                pv = pv.astype(jnp.float32) * (pmax * (1.0 / 127.0))
+                if kv_scale is not None:
+                    pv = pv * kv_scale
+            else:
+                # rs: V row scales fold into p, whose dynamic range then
+                # spans the scale outliers — int8 row quant would crush the
+                # non-outlier tokens' weights (measured 6% output error on
+                # e^±2-spread rows). bf16 p keeps a per-element mantissa;
+                # the PV matmul runs at the bf16 tile rate, still under the
+                # int4 HBM floor (scores stay int8).
+                p_s = p * scv
+                pv = lax.dot_general(
+                    p_s.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            lm_shape = head_m.shape
+            m_curr_b = jnp.broadcast_to(m_curr, lm_shape)
+            l_curr = jnp.broadcast_to(l_sum, lm_shape)
+            m_prev = load_with_init(head_m, -jnp.inf)
+            l_prev = load_with_init(head_l, 0.0)
+            m_next = jnp.maximum(m_prev, m_curr_b)
+            masked_store_rows(head_m, m_next)
+            alpha = jnp.exp(m_prev - m_next)
+            beta = jnp.exp(m_curr_b - m_next)
+            l_alpha = alpha * l_prev
+            l_next = l_alpha + beta * l_curr
+            l_next_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+            masked_store_rows(head_l, l_next_safe)
+
+            def bcast(arr, shape):
+                if arr.shape == shape:
+                    return arr
+                return jnp.concatenate(
+                    [arr for _ in range(shape[1] // arr.shape[1])], axis=1)
+
+            o_curr = load_with_init(head_acc, 0.0).reshape(M, D)
+            out = lax.div(bcast(l_alpha, pv.shape) * o_curr
+                          + bcast(beta, pv.shape) * pv,
+                          bcast(l_next_safe, pv.shape))
+            masked_store_acc(head_acc, out.reshape(head_acc.shape))
+
+        def kv_blk_valid(state):
+            kv_blk_idx, _ = state
+            return kv_blk_idx * kv_per_blk < kv_len
+
+        def compute_kv_blk(state):
+            kv_blk_idx, cur_buf = state
+            valid, nseq, nkv, nbuf = next_ids(kv_blk_idx, cur_buf)
+
+            @pl.when(valid)
+            def _prefetch_next():
+                make_copies(nseq, nkv, nbuf).start()
+
+            make_copies(cur_seq, kv_blk_idx, cur_buf).wait()
+            kv_ref = kv_bufs.at[cur_buf].reshape(
+                bkv * page_size * hdim, D)
+            planes = _plane_loader(kv_ref, mode=mode, num_kv_heads=Hk,
+                                   interpret=interpret)
+            # causal + past-kv-len mask, shared across heads: token row t
+            # attends col c iff (kv_len - q_len + t') >= c' in sequence
+            # coordinates — rearranged onto the constant tok-col iota
+            thresh = kv_blk_idx * kv_per_blk - (kv_len - q_len) \
+                - q_len_start + q_start
+            mask_add = jnp.where(tok_minus_col < thresh, mask_value, 0.0)
+            if with_scales:
+                sc = sc_bufs[cur_buf].reshape(
+                    kv_per_blk, -1)[:, :2 * Hk]          # [Tkv, 2Hk] f32
+                sc_t = lax.transpose(sc, (1, 0))         # [2Hk, Tkv]
+                # zero scales past kv_len unconditionally: those rows were
+                # never DMA'd this block, and stale f32 VMEM (NaN-init in
+                # interpret mode, arbitrary bits on hardware) can be NaN —
+                # which would poison the causally-masked scores (NaN *
+                # anything) where int8 data garbage cannot
+                cols = lax.broadcasted_iota(jnp.int32, sc_t.shape, 1)
+                sc_t = jnp.where(
+                    cols < kv_len - kv_blk_idx * kv_per_blk, sc_t, 0.0)
+            for h in range(Hk):
+                k_h, v_h = planes(h)
+                head_attention(
+                    h, k_h, v_h,
+                    sc_t[h:h + 1, :] if with_scales else None,
+                    sc_t[Hk + h:Hk + h + 1, :] if with_scales else None,
+                    mask_add, kv_blk_idx)
+            return kv_blk_idx + 1, nbuf
+
+        _, next_buf = lax.while_loop(kv_blk_valid, compute_kv_blk,
+                                     (0, cur_buf))
+        next_seq = lax.select(q_end <= q_len_end, cur_seq + 1, cur_seq)
+        done = lax.select(q_end < q_len_end, done, 1)
+        return done, next_seq, next_buf
+
+    _, seq_idx, buf_idx = lax.while_loop(
+        is_cur_q_blk_needed, compute_q_blk,
+        (0, init_seq_idx, init_buf_idx))
+    seq_buf_idx_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
+    seq_buf_idx_ref[1] = buf_idx
+    o_ref[...] = lax.transpose(acc_ref[...], (1, 0, 2)).astype(q_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sm_scale", "kv_mode", "kv_scale", "num_kv_pages_per_block",
+    "num_queries_per_block", "vmem_limit_bytes", "interpret"))
+def ragged_quant_attention(
+    q,                 # [T, Hq, D]
+    kv_pages,          # see module docstring per mode
+    kv_lens,           # i32[max_num_seqs]
+    page_indices,      # i32[max_num_seqs, pages_per_seq]
+    cu_q_lens,         # i32[max_num_seqs + 1]
+    num_seqs,          # i32[1]
+    kv_scales=None,    # [P, ps, SW] f32 (rs modes)
+    *,
+    sm_scale: float = 1.0,
+    kv_mode: str = "int4_rs",
+    kv_scale: float | None = None,
+    num_kv_pages_per_block: int = 16,
+    num_queries_per_block: int = 8,
+    vmem_limit_bytes: int = 100 * 2**20,
+    interpret: bool = False,
+):
+    """Ragged paged attention over quantized pools (prefill, decode, mixed).
+
+    Same calling convention as the library ragged kernel plus the scale
+    sidecar. Every sequence with index < num_seqs must have kv_len >= 1.
+    Returns [T, Hq, D] in q's dtype."""
+    T, Hq, D = q.shape
+    P, page_size, hdim, Dp = kv_pages.shape
+    assert Dp == D, (Dp, D)
+    assert kv_mode in ("int4_rs", "int8_rs", "int8"), kv_mode
+    assert kv_pages.dtype == jnp.int8, kv_pages.dtype
+    Hk = hdim if kv_mode == "int4_rs" else hdim // 2
+    G = Hq // Hk
+    assert Hq % Hk == 0
+    rs = kv_mode in ("int4_rs", "int8_rs")
+    if rs:
+        assert kv_scales is not None and kv_scale is None
+        SW = kv_scales.shape[-1]
+        assert kv_scales.shape == (P, page_size, SW), kv_scales.shape
+    else:
+        assert kv_scales is None
+    if not interpret:
+        # the bitcast head-plane extraction packs 4 int8 rows per uint32
+        assert hdim % 4 == 0, hdim
+
+    bq = min(num_queries_per_block, T)
+    bkv = min(num_kv_pages_per_block, page_indices.shape[1])
+    num_q_blks = pl.cdiv(T, bq)
+
+    q_spec = pl.BlockSpec((bq, Hq, D), lambda i, *_: (i, 0, 0))
+    in_specs = [q_spec, pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [
+        pltpu.VMEM((2, bkv, page_size, hdim, D), jnp.int8),
+        None,
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((Hk, G * bq, 128), jnp.float32),   # l
+        pltpu.VMEM((Hk, G * bq, 128), jnp.float32),   # m
+        pltpu.VMEM((Hq, bq, D), jnp.float32),         # acc (head-major)
+        pltpu.VMEM((Hq, bq, D), jnp.int8),            # row-quantized q
+        pltpu.VMEM((Hq, bq, 128), jnp.float32),       # q row scales
+    ]
+    operands = [kv_lens, page_indices, cu_q_lens,
+                jnp.array((0, 0), jnp.int32), num_seqs, q, kv_pages]
+    if rs:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch[1] = pltpu.VMEM((2, bkv, page_size, SW), jnp.float32)
+        operands.append(kv_scales)
+        body = functools.partial(
+            _kernel, sm_scale=sm_scale, mode=kv_mode, kv_scale=None,
+            num_kv_heads=Hk, interpret=interpret)
+    else:
+        scratch = [s for i, s in enumerate(scratch) if i != 1]
+        body = functools.partial(
+            _kernel_dense_entry, sm_scale=sm_scale, mode=kv_mode,
+            kv_scale=kv_scale, num_kv_heads=Hk, interpret=interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_q_blks,),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+        name="ragged_quant_attention",
+    )(*operands)
+
+
+def _kernel_dense_entry(kv_lens_ref, page_indices_ref, cu_q_lens_ref,
+                        seq_buf_idx_ref, num_seqs_ref, q_ref, pages_hbm,
+                        o_ref, kv_bufs, sems, l_ref, m_ref, acc_ref,
+                        qi8_ref, qsc_ref, **kw):
+    """Signature adapter: dense pools carry no scale operands/scratch."""
+    _kernel(kv_lens_ref, page_indices_ref, cu_q_lens_ref, seq_buf_idx_ref,
+            num_seqs_ref, q_ref, pages_hbm, None, o_ref, kv_bufs, None,
+            sems, l_ref, m_ref, acc_ref, qi8_ref, qsc_ref, **kw)

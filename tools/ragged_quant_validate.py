@@ -1,0 +1,253 @@
+"""Staged hardware validation + A/B for ops/pallas/ragged_quant.
+
+Stages (run in order; each a separate process under `timeout`):
+
+  timeout 300 python tools/ragged_quant_validate.py smoke    # tiny decode
+  timeout 400 python tools/ragged_quant_validate.py parity   # vs dequant oracle
+  timeout 580 python tools/ragged_quant_validate.py decode   # B=256 ctx=1k A/B
+  timeout 580 python tools/ragged_quant_validate.py prefill  # T=8k A/B
+
+The decode stage is the round-4 headline question: int4_rs pages read
+96 KB/page (64 data + 32 padded f32 sidecar) vs the library int8 kernel's
+128 KB/page, and the int8-MXU score path halves the tile-load floor — the
+A/B ratio vs the tuned library kernel (blocks (16, 8)) decides the serving
+path. In-run ratios only; absolute ms varies ~2.7x with tunnel load.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+import nanovllm_tpu
+
+nanovllm_tpu.enable_persistent_jit_cache()
+
+import functools as ft
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.ops.attention import quantize_kv, take_kv_scales, unpack_int4
+from nanovllm_tpu.ops.pallas.ragged_quant import ragged_quant_attention
+
+Hq, Hk, D, PS = 16, 8, 128, 64
+SCALE = 0.0883
+
+
+def say(m):
+    print(m, flush=True)
+
+
+def make_rs_pool(P, kind, key=7):
+    raw = jax.random.normal(jax.random.key(key), (P * PS, 2 * Hk, D),
+                            jnp.float32)
+    stored, scales = quantize_kv(raw, (kind, None))
+    rh = Hk if kind == "int4_rs" else 2 * Hk
+    return stored.reshape(P, PS, rh, D), scales.reshape(P, PS, -1), stored, scales
+
+
+def dequant_interleaved(stored, scales, kind):
+    unp = unpack_int4(stored) if kind == "int4_rs" else stored
+    sc = take_kv_scales(scales, 2 * Hk).astype(jnp.float32)
+    deq = (unp.astype(jnp.float32) * sc[..., None]).astype(jnp.bfloat16)
+    P = stored.shape[0] // PS
+    return jnp.stack([deq[:, :Hk], deq[:, Hk:]], axis=2).reshape(
+        -1, 2 * Hk, D).reshape(P, PS, 2 * Hk, D)
+
+
+def make_batch(q_lens, kv_lens, P, seed=1):
+    rng = np.random.default_rng(seed)
+    n = len(q_lens)
+    W = max(2, (max(kv_lens) + PS - 1) // PS)
+    pi = np.stack([rng.permutation(P)[:W] for _ in range(n)]).astype(np.int32)
+    T = int(sum(q_lens))
+    q = jax.random.normal(jax.random.key(seed + 1), (T, Hq, D), jnp.bfloat16)
+    cu = np.zeros(n + 1, np.int32)
+    np.cumsum(q_lens, out=cu[1:])
+    return (q, jnp.asarray(np.asarray(kv_lens, np.int32)), jnp.asarray(pi),
+            jnp.asarray(cu), jnp.asarray([n], jnp.int32))
+
+
+def library_ref(q, pool, lens, pi, cu, num, kv_scale=None, blocks=(16, 8)):
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ragged_paged_attention)
+    return ragged_paged_attention(
+        q, pool, lens, pi, cu, num, sm_scale=SCALE,
+        k_scale=kv_scale, v_scale=kv_scale,
+        num_kv_pages_per_block=min(blocks[0], pi.shape[1]),
+        num_queries_per_block=blocks[1], vmem_limit_bytes=100 * 2**20)
+
+
+def maxdiff(a, b):
+    return float(jnp.max(jnp.abs(
+        a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+
+def smoke():
+    P = 16
+    pool, spool, _, _ = make_rs_pool(P, "int4_rs")
+    q, lens, pi, cu, num = make_batch([1] * 8, [1, 17, 64, 65, 100, 128,
+                                                5, 33], P)
+    say("smoke: int4_rs decode B=8 compile+run ...")
+    out = ragged_quant_attention(q, pool, lens, pi, cu, num, spool,
+                                 sm_scale=SCALE, kv_mode="int4_rs",
+                                 num_queries_per_block=8,
+                                 num_kv_pages_per_block=2)
+    say(f"smoke: readback {np.asarray(out[:1, :1, :4])!r}")
+    say("smoke: mixed prefill+decode ...")
+    q2, lens2, pi2, cu2, num2 = make_batch([1, 40, 9], [80, 40, 33], P,
+                                           seed=3)
+    out2 = ragged_quant_attention(q2, pool, lens2, pi2, cu2, num2, spool,
+                                  sm_scale=SCALE, kv_mode="int4_rs",
+                                  num_queries_per_block=16,
+                                  num_kv_pages_per_block=2)
+    np.asarray(out2[:1, :1, :1])
+    say("smoke OK")
+
+
+def parity():
+    P = 256
+    for kind in ("int4_rs", "int8_rs"):
+        pool, spool, stored, scales = make_rs_pool(P, kind)
+        deq = dequant_interleaved(stored, scales, kind)
+        q, lens, pi, cu, num = make_batch([1] * 64, [512] * 64, P)
+        say(f"parity[{kind}]: quant kernel ...")
+        out = ragged_quant_attention(q, pool, lens, pi, cu, num, spool,
+                                     sm_scale=SCALE, kv_mode=kind)
+        np.asarray(out[:1, :1, :1])
+        say(f"parity[{kind}]: dequant-library oracle ...")
+        ref = library_ref(q, deq, lens, pi, cu, num)
+        d = maxdiff(out, ref)
+        say(f"parity[{kind}]: maxdiff = {d:.5f} "
+            f"{'OK' if d < 5e-2 else 'FAIL'}")
+        say(f"parity[{kind}]: ragged prefill ...")
+        qp, lensp, pip, cup, nump = make_batch(
+            [100, 500, 64, 1000], [612, 500, 1024, 1000], P, seed=5)
+        outp = ragged_quant_attention(qp, pool, lensp, pip, cup, nump, spool,
+                                      sm_scale=SCALE, kv_mode=kind,
+                                      num_queries_per_block=64)
+        refp = library_ref(qp, deq, lensp, pip, cup, nump, blocks=(16, 64))
+        d = maxdiff(outp, refp)
+        say(f"parity[{kind}]: prefill maxdiff = {d:.5f} "
+            f"{'OK' if d < 5e-2 else 'FAIL'}")
+
+
+def _probe_rtt():
+    f = jax.jit(lambda x: jnp.sum(x[:1, :1]).astype(jnp.float32))
+    x = jnp.ones((4, 128))
+    float(f(x))
+    t = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t
+
+
+def _timed(step, q0, n, rtt):
+    state = step(jnp.asarray(q0))
+    float(jnp.sum(state.ravel()[:1]).astype(jnp.float32))
+    t = time.perf_counter()
+    for _ in range(n):
+        state = step(state)
+    float(jnp.sum(state.ravel()[:1]).astype(jnp.float32))
+    return (time.perf_counter() - t - rtt) / n
+
+
+def decode():
+    """B=256 ctx=1k decode: int4_rs / int8 quant kernel vs tuned library."""
+    B, ctx, P = 256, 1024, 4200
+    rtt = _probe_rtt()
+    say(f"decode A/B: B={B} ctx={ctx} RTT={rtt*1e3:.1f} ms")
+    q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
+    q0 = np.asarray(q)
+    pool8 = (jax.random.normal(jax.random.key(2), (P, PS, 2 * Hk, D),
+                               jnp.float32) / 0.0625).round() \
+        .clip(-127, 127).astype(jnp.int8)
+
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def lib_step(qq, pool):
+        return (library_ref(qq, pool, lens, pi, cu, num, kv_scale=0.0625)
+                * 1e-3).astype(qq.dtype)
+
+    t_lib = _timed(lambda qq: lib_step(qq, pool8), q0, 20, rtt)
+    say(f"decode: library int8 (16,8): {t_lib*1e3:.3f} ms")
+
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def dense_step(qq, pool):
+        return (ragged_quant_attention(
+            qq, pool, lens, pi, cu, num, sm_scale=SCALE, kv_mode="int8",
+            kv_scale=0.0625, num_kv_pages_per_block=16,
+            num_queries_per_block=8) * 1e-3).astype(qq.dtype)
+
+    t = _timed(lambda qq: dense_step(qq, pool8), q0, 20, rtt)
+    say(f"decode: quant-kernel int8 dense: {t*1e3:.3f} ms "
+        f"({t/t_lib:.2f}x library)")
+
+    for kind in ("int4_rs", "int8_rs"):
+        pool, spool, _, _ = make_rs_pool(P, kind)
+        for bkv, bq in ((16, 8), (8, 8), (16, 16), (8, 16), (4, 8)):
+            @ft.partial(jax.jit, donate_argnums=(0,))
+            def rs_step(qq, pool, sp, bkv=bkv, bq=bq):
+                return (ragged_quant_attention(
+                    qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
+                    kv_mode=kind, num_kv_pages_per_block=bkv,
+                    num_queries_per_block=bq) * 1e-3).astype(qq.dtype)
+            try:
+                t = _timed(lambda qq: rs_step(qq, pool, spool), q0, 20, rtt)
+            except Exception as e:  # noqa: BLE001
+                say(f"decode: {kind} ({bkv},{bq}): FAIL {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:90]}")
+                continue
+            say(f"decode: {kind} ({bkv},{bq}): {t*1e3:.3f} ms "
+                f"({t/t_lib:.2f}x library)")
+
+
+def prefill():
+    """T=8k single-seq-ish prefill: quant kernel vs library int8 (16,256)."""
+    P = 4200
+    rtt = _probe_rtt()
+    say(f"prefill A/B: RTT={rtt*1e3:.1f} ms")
+    q_lens = [1000] * 8
+    kv_lens = [1000] * 8
+    q, lens, pi, cu, num = make_batch(q_lens, kv_lens, P)
+    q0 = np.asarray(q)
+    pool8 = (jax.random.normal(jax.random.key(2), (P, PS, 2 * Hk, D),
+                               jnp.float32) / 0.0625).round() \
+        .clip(-127, 127).astype(jnp.int8)
+
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def lib_step(qq, pool):
+        return (library_ref(qq, pool, lens, pi, cu, num, kv_scale=0.0625,
+                            blocks=(16, 256)) * 1e-3).astype(qq.dtype)
+
+    t_lib = _timed(lambda qq: lib_step(qq, pool8), q0, 10, rtt)
+    say(f"prefill: library int8 (16,256): {t_lib*1e3:.3f} ms")
+
+    for kind in ("int8", "int4_rs"):
+        if kind == "int8":
+            pool, spool = pool8, None
+            kw = {"kv_scale": 0.0625}
+        else:
+            pool, spool, _, _ = make_rs_pool(P, kind)
+            kw = {}
+        for bkv, bq in ((16, 256), (16, 128), (8, 256)):
+            @ft.partial(jax.jit, donate_argnums=(0,))
+            def pstep(qq, pool, sp, bkv=bkv, bq=bq, kind=kind, kw=kw):
+                return (ragged_quant_attention(
+                    qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
+                    kv_mode=kind, num_kv_pages_per_block=bkv,
+                    num_queries_per_block=bq, **kw) * 1e-3).astype(qq.dtype)
+            try:
+                t = _timed(lambda qq: pstep(qq, pool, spool), q0, 10, rtt)
+            except Exception as e:  # noqa: BLE001
+                say(f"prefill: {kind} ({bkv},{bq}): FAIL "
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:90]}")
+                continue
+            say(f"prefill: {kind} ({bkv},{bq}): {t*1e3:.3f} ms "
+                f"({t/t_lib:.2f}x library)")
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "smoke"
+    say(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    {"smoke": smoke, "parity": parity, "decode": decode,
+     "prefill": prefill}[stage]()
