@@ -31,10 +31,15 @@ def main():
     min_output_len = int(os.environ.get("BENCH_MIN_OUTPUT", 100))
     min_output_len = min(min_output_len, max_output_len)
 
-    # int8 KV is this framework's shipped serving config: it doubles KV
-    # capacity (the bench workload is capacity-bound) with bounded, tested
-    # quantization noise. BENCH_KV_DTYPE=auto benches the bf16 cache.
-    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")  # int8 | fp8 | auto
+    # int4 KV (nibble-packed, per-(row, head) scales) is this framework's
+    # shipped serving config as of round 4: the in-house quantized ragged
+    # kernel reads the packed pool at 0.72x the library int8 kernel's
+    # decode wall (tools/ragged_quant_validate.py), measured +17.9% on this
+    # bench back-to-back vs int8 (5837 -> 6881 tok/s). Quality is gated by
+    # tests/test_kv_quality.py (logit-KL vs bf16 KV incl. the V-clipping
+    # hazard the per-row scales remove). BENCH_KV_DTYPE=int8 restores the
+    # round-3 config; =auto benches the bf16 cache.
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int4")
     # Admission reserves prompt + 0.5*max_tokens of KV per sequence: the
     # workload is KV-capacity-bound, and half-reservation (the expectation of
     # the uniform-random output lengths) nearly doubles decode batch occupancy
