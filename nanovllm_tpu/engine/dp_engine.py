@@ -93,3 +93,93 @@ class DataParallelEngine:
         if use_tqdm:
             pbar.close()
         return results
+
+
+class MultiHostDPEngine:
+    """Data parallelism across hosts: ``data_parallel_size`` replicas spread
+    over ``jax.process_count()`` processes, each replica living entirely on
+    one host's local devices (TP inside the replica rides ICI; NO per-step
+    cross-host traffic — the round-3 lockstep TP path is for models that
+    must span hosts, this is for fleets of host-sized replicas).
+
+    Every process calls ``generate`` SPMD-style with the full prompt list;
+    requests partition round-robin by global replica index, each process
+    serves its own replicas' share with a plain local engine (or a local
+    DataParallelEngine when it hosts several replicas), and the per-process
+    outputs are exchanged with two ``process_allgather`` collectives so
+    every process returns the identical, input-ordered result list."""
+
+    def __init__(self, model, **kwargs):
+        import jax
+
+        from nanovllm_tpu.engine.llm_engine import LLMEngine
+        from nanovllm_tpu.parallel.sharding import make_mesh
+
+        self.num_procs = jax.process_count()
+        self.pid = jax.process_index()
+        dp = kwargs.pop("data_parallel_size")
+        tp = kwargs.get("tensor_parallel_size", 1)
+        kwargs.pop("mesh", None)
+        assert dp % self.num_procs == 0, \
+            f"data_parallel_size({dp}) must divide evenly over " \
+            f"{self.num_procs} processes"
+        self.replicas_per_proc = k = dp // self.num_procs
+        self.dp = dp
+        local = jax.local_devices()
+        assert k * tp <= len(local), \
+            f"{k} local replicas x tp={tp} need {k * tp} local devices, " \
+            f"have {len(local)}"
+        if k == 1:
+            self.local = LLMEngine(
+                model, mesh=make_mesh(1, tp, devices=local[:tp]),
+                data_parallel_size=1, **kwargs)
+        else:
+            self.local = DataParallelEngine(
+                model, mesh=make_mesh(1, k * tp, devices=local[:k * tp]),
+                data_parallel_size=k, **kwargs)
+        self.config = self.local.config
+        self.tokenizer = self.local.tokenizer
+
+    def exit(self):
+        self.local.exit()
+
+    @property
+    def metrics(self):
+        return self.local.metrics
+
+    @staticmethod
+    def _allgather_bytes(blob: bytes) -> list[bytes]:
+        """Exchange one byte blob per process (ragged): length allgather
+        fixes the padded shape, then one data allgather."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+        lens = multihost_utils.process_allgather(
+            np.array([len(blob)], np.int64))
+        cap = int(np.max(lens))
+        buf = np.zeros(cap, np.uint8)
+        buf[:len(blob)] = np.frombuffer(blob, np.uint8)
+        data = np.asarray(multihost_utils.process_allgather(buf))
+        return [data[p, :int(lens[p])].tobytes()
+                for p in range(data.shape[0])]
+
+    def generate(self, prompts, sampling_params, use_tqdm: bool = True) -> list[dict]:
+        import pickle
+
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        k = self.replicas_per_proc
+        # request i -> replica (i % dp) -> process (i % dp) // k
+        mine = [i for i in range(len(prompts))
+                if (i % self.dp) // k == self.pid]
+        outs = self.local.generate(
+            [prompts[i] for i in mine], [sampling_params[i] for i in mine],
+            use_tqdm=use_tqdm and self.pid == 0)
+        # local engines return outputs in submission order == ``mine`` order
+        blobs = self._allgather_bytes(pickle.dumps((mine, outs)))
+        results: list = [None] * len(prompts)
+        for blob in blobs:
+            idxs, theirs = pickle.loads(blob)
+            for i, o in zip(idxs, theirs):
+                results[i] = o
+        assert all(r is not None for r in results)
+        return results

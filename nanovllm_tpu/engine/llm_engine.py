@@ -51,12 +51,19 @@ class LLMEngine:
         if config.data_parallel_size > 1:
             # DP is request-level parallelism over engine *replicas*
             # (engine/dp_engine.py) — construct via LLM(...), which routes
-            # there; a single lock-stepped engine cannot shard its batch.
+            # there (DataParallelEngine single-process, MultiHostDPEngine
+            # across processes); a single lock-stepped engine cannot shard
+            # its batch.
             raise ValueError(
-                "data_parallel_size > 1 is handled by DataParallelEngine; "
-                "construct via nanovllm_tpu.LLM (single-process) — multi-host "
-                "DP replicas are not yet wired")
-        if jax.process_count() > 1:
+                "data_parallel_size > 1 is handled by the DP engines; "
+                "construct via nanovllm_tpu.LLM")
+        # a process-local mesh (every device addressable) needs no lockstep
+        # control plane even inside a multi-process job — that is how
+        # MultiHostDPEngine runs one independent replica per host
+        local_mesh = mesh is not None and all(
+            d.process_index == jax.process_index()
+            for d in mesh.devices.flat)
+        if jax.process_count() > 1 and not local_mesh:
             from nanovllm_tpu.parallel import distributed as dist
             self.is_controller = jax.process_index() == 0
             self.channel = dist.PlanChannel(self.is_controller)

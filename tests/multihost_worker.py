@@ -4,7 +4,11 @@ Runs one JAX process of an N-process CPU cluster (2 virtual devices each),
 builds the engine over the global mesh, and generates. Every process runs
 this same script SPMD-style; process 0 is the lockstep controller.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <ckpt> <out.json>
+Usage: python multihost_worker.py <pid> <nproc> <port> <ckpt> <out.json> [mode]
+
+mode "tp" (default): one engine with the model axis spanning both processes
+(lockstep controller). mode "dp": data_parallel_size = nproc independent
+per-process replicas (MultiHostDPEngine) — no lockstep, outputs allgathered.
 """
 
 import json
@@ -15,6 +19,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     ckpt, out_path = sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "tp"
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
@@ -26,9 +31,16 @@ def main():
 
     from nanovllm_tpu import LLM, SamplingParams
 
-    llm = LLM(ckpt, tensor_parallel_size=2 * nproc, attention_impl="xla",
-              dtype="float32", max_model_len=256, max_num_batched_tokens=256,
-              max_num_seqs=8, enforce_eager=False)
+    if mode == "tp":
+        llm = LLM(ckpt, tensor_parallel_size=2 * nproc, attention_impl="xla",
+                  dtype="float32", max_model_len=256,
+                  max_num_batched_tokens=256, max_num_seqs=8,
+                  enforce_eager=False)
+    else:
+        assert mode == "dp"
+        llm = LLM(ckpt, data_parallel_size=2 * nproc, tensor_parallel_size=1,
+                  attention_impl="xla", dtype="float32", max_model_len=256,
+                  max_num_batched_tokens=256, max_num_seqs=8)
     prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [11, 12, 13, 14, 15, 16, 17]]
     sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
     outputs = llm.generate(prompts, sp, use_tqdm=False)

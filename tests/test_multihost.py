@@ -84,3 +84,42 @@ def test_two_process_lockstep_generate(tp_checkpoint, tmp_path):
     sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
     ref = [o["token_ids"] for o in llm.generate(prompts, sp, use_tqdm=False)]
     assert results[0] == ref
+
+
+def test_two_process_dp_replicas_generate(tp_checkpoint, tmp_path):
+    """Multi-host DP (VERDICT r3 item 7): 2 processes x data_parallel_size=4
+    (2 replicas per process on its local devices, TP=1) through
+    MultiHostDPEngine. No lockstep channel; outputs allgathered. Every
+    process returns the full input-ordered result list, equal to a
+    single-process single-engine run."""
+    nproc = 2
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"dp_out_{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nproc), str(port),
+             tp_checkpoint, str(out), "dp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=420)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    assert results[0] == results[1]
+    assert len(results[0]) == 3 and all(len(t) == 20 for t in results[0])
+
+    llm = LLM(tp_checkpoint, attention_impl="xla", dtype="float32",
+              max_model_len=256, max_num_batched_tokens=256, max_num_seqs=8)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [11, 12, 13, 14, 15, 16, 17]]
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    ref = [o["token_ids"] for o in llm.generate(prompts, sp, use_tqdm=False)]
+    assert results[0] == ref
