@@ -23,6 +23,10 @@ def main():
     num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
     max_input_len = int(os.environ.get("BENCH_MAX_INPUT", 1024))
     max_output_len = int(os.environ.get("BENCH_MAX_OUTPUT", 1024))
+    # BENCH_MIN_INPUT=2048 BENCH_MAX_INPUT=3072 BENCH_MIN_OUTPUT=512 gives
+    # the capacity-bound long-context variant: admission is limited by KV
+    # pages, so sub-byte KV raises decode occupancy (not just bandwidth)
+    min_input_len = int(os.environ.get("BENCH_MIN_INPUT", 100))
     # BENCH_MIN_OUTPUT=1 with BENCH_MAX_OUTPUT=1 gives a prefill-dominated
     # run over the bench's random (prefix-cache-miss) prompts — used to
     # isolate the prefill path (e.g. the row-scale scratch-dequant tax);
@@ -59,7 +63,8 @@ def main():
     # decode waste and the adaptive-K policy. 0 = reference parity workload.
     eos_mean = int(os.environ.get("BENCH_EOS_MEAN", 0))
 
-    prompt_token_ids = [[randint(0, 10000) for _ in range(randint(100, max_input_len))]
+    prompt_token_ids = [[randint(0, 10000)
+                         for _ in range(randint(min_input_len, max_input_len))]
                         for _ in range(num_seqs)]
     if eos_mean:
         from random import random

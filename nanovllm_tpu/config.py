@@ -136,6 +136,16 @@ class Config:
     # ±7.9 with ~0.03 rounding noise. fp8 (e4m3) and the row-scale modes
     # need no global scale.
     kv_cache_scale: float = 0.0625
+    # Piggyback one decode step per running sequence onto each prefill
+    # dispatch (mixed ragged batch): decode lanes keep advancing through
+    # prefill phases instead of stalling — an inter-token-latency feature
+    # for online serving. The reference schedules prefill XOR decode
+    # (reference: scheduler.py:24-58). Default off: on the offline
+    # throughput bench the round-4 A/B measured it neutral-to-negative
+    # (6717 vs ~6850 tok/s, 1282 piggybacked tokens = ~1% of decode) —
+    # a single chip has no idle compute for mixing to reclaim, so the
+    # piggyback only re-times tokens while adding prep overhead.
+    mixed_prefill_decode: bool = False
     activation_quant: bool = True            # per_row/per_tensor → W8A8 when True
     # Admit a prefill only when its worst-case final KV footprint
     # (prompt + max_tokens, clipped to max_model_len) fits alongside all

@@ -87,7 +87,7 @@ class LLMEngine:
         # postfix, reference: llm_engine.py:76-84)
         self.metrics = {"prefill_tokens": 0, "decode_tokens": 0,
                         "prefill_calls": 0, "decode_calls": 0,
-                        "decode_scan_steps": 0,
+                        "decode_scan_steps": 0, "piggyback_tokens": 0,
                         "preemptions": 0, "requests_finished": 0,
                         "decode_tokens_used": 0}
 
@@ -123,13 +123,14 @@ class LLMEngine:
             self._finished.append((seq.seq_id, seq.completion_token_ids))
             self.metrics["requests_finished"] += 1
 
-    def _dispatch(self, seqs, is_prefill: bool, steps, num_steps: int):
+    def _dispatch(self, seqs, is_prefill: bool, steps, num_steps: int,
+                  n_prefill: int | None = None):
         """Prepare one device call's packed plan, broadcast it to worker
         processes (multi-host lockstep), and dispatch locally."""
         mr = self.model_runner
         use_topkp = mr._needs_topkp(seqs)
         if is_prefill:
-            buf, fbuf, bucket = mr.prepare(seqs, True)
+            buf, fbuf, bucket = mr.prepare(seqs, True, n_prefill=n_prefill)
         else:
             buf, fbuf, bucket = mr.prepare_decode(seqs, steps)
         if self.channel is not None:
@@ -196,12 +197,21 @@ class LLMEngine:
                 self._materialize_one()
         if seqs:
             if is_prefill:
-                tokens = self._dispatch(seqs, True, steps, 1)
-                num_tokens = sum(len(s) - s.num_cached_tokens for s in seqs)
-                for s in seqs:
+                # lanes past n_prefill are piggybacked single-step decodes
+                # (mixed batch); their input token is device-resident
+                n_prefill = self.scheduler.last_n_prefill
+                tokens = self._dispatch(seqs, True, steps, 1,
+                                        n_prefill=n_prefill)
+                num_tokens = sum(len(s) - s.num_cached_tokens
+                                 for s in seqs[:n_prefill])
+                for s in seqs[:n_prefill]:
                     s.num_sched_tokens = s.num_tokens + 1
+                for s in seqs[n_prefill:]:
+                    s.num_sched_tokens += 1
                 self.metrics["prefill_tokens"] += num_tokens
                 self.metrics["prefill_calls"] += 1
+                self.metrics["decode_tokens"] += len(seqs) - n_prefill
+                self.metrics["piggyback_tokens"] += len(seqs) - n_prefill
             else:
                 tokens = self._dispatch(seqs, False, steps, k_call)
                 num_tokens = -sum(steps)

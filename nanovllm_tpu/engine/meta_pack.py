@@ -35,9 +35,9 @@ class PackLayout(NamedTuple):
 
 def _prefill_fixed(layout: PackLayout) -> int:
     B, W, NP, NS = layout
-    # kv_lens, cu(B+1), num_seqs, last_idx, slot_ids, top_ks, pages, store,
-    # ctr
-    return 5 * B + 4 + B * W + 2 * NP + 3 * NS + 1
+    # kv_lens, cu(B+1), num_seqs, last_idx, slot_ids, top_ks,
+    # input_src_slot, pages, store, ctr
+    return 6 * B + 4 + B * W + 2 * NP + 3 * NS + 1
 
 
 def prefill_i32_size(T: int, layout: PackLayout) -> int:
@@ -68,6 +68,7 @@ def split_prefill_i32(buf, layout: PackLayout):
         last_token_idx=take(B),
         slot_ids=take(B),
         top_ks=take(B),
+        input_src_slot=take(B),
         store_page_src=take(NP),
         store_page_dst=take(NP),
         store_row_src=take(NS),
@@ -125,6 +126,7 @@ def new_prefill_bufs(T: int, layout: PackLayout):
     # non-zero defaults
     v["q_segment_ids"][:] = -1
     v["slot_ids"][:] = layout.B
+    v["input_src_slot"][:] = -1    # -1 = host-provided input token
     fv["top_ps"][:] = 1.0
     return buf, fbuf, v, fv
 

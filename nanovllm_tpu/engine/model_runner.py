@@ -395,16 +395,26 @@ class ModelRunner:
                     self.pages_per_layer * self._page_bytes() / 2**30)
 
     # ------------------------------------------------------------------ prep
-    def prepare(self, seqs: list[Sequence], is_prefill: bool = True):
+    def prepare(self, seqs: list[Sequence], is_prefill: bool = True,
+                n_prefill: int | None = None):
         """Ragged prefill batch prep (reference prepare_prefill,
         model_runner.py:182-237) into packed (i32, f32) upload buffers.
-        Decode prep is prepare_decode."""
+        Decode prep is prepare_decode.
+
+        ``n_prefill``: lanes past it are piggybacked single-step decodes of
+        a mixed batch — q_len 1, context = their scheduled-token count, and
+        the input token gathered on device from ``last_tokens`` (it may not
+        be host-materialized yet)."""
         cfg = self.config
         ps = self.page_size
         layout = self.pack_layout
+        if n_prefill is None:
+            n_prefill = len(seqs)
 
         if is_prefill:
-            q_lens = np.array([len(s) - s.num_cached_tokens for s in seqs], np.int64)
+            q_lens = np.array(
+                [len(s) - s.num_cached_tokens if i < n_prefill else 1
+                 for i, s in enumerate(seqs)], np.int64)
             # full-page store copies over-read the stream by up to a page
             T = (int(q_lens.sum()) + ps if cfg.enforce_eager
                  else _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps))
@@ -427,7 +437,8 @@ class ModelRunner:
         np.cumsum(q_lens, out=starts[1:])
         qo = int(starts[-1])
         kv_lens = v["kv_lens"]
-        kv_lens[:n] = [len(s) for s in seqs]
+        kv_lens[:n] = [len(s) if i < n_prefill else s.num_sched_tokens
+                       for i, s in enumerate(seqs)]
         cached_lens = kv_lens[:n].astype(np.int64) - q_lens
         # vectorized ragged position/segment fill: positions of seq i run
         # cached_i .. kv_i-1 at stream offset starts[i]
@@ -439,7 +450,13 @@ class ModelRunner:
         slot_ids, top_ks = v["slot_ids"], v["top_ks"]
         temps, top_ps = fv["temperatures"], fv["top_ps"]
         for i, seq in enumerate(seqs):
-            input_ids[starts[i]:starts[i + 1]] = seq.token_ids[int(cached_lens[i]):]
+            if i < n_prefill:
+                input_ids[starts[i]:starts[i + 1]] = \
+                    seq.token_ids[int(cached_lens[i]):]
+            else:
+                # mixed-batch decode lane: placeholder 0; the jitted step
+                # overwrites it from last_tokens[input_src_slot]
+                v["input_src_slot"][i] = seq.slot
             page_indices[i, :len(seq.block_table)] = seq.block_table
             temps[i] = seq.temperature
             slot_ids[i] = seq.slot if seq.slot is not None else i
@@ -561,7 +578,8 @@ def _prefill_step_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
         store_row_src=v["store_row_src"],
         store_row_dst_page=v["store_row_dst_page"],
         store_row_dst_pos=v["store_row_dst_pos"],
-        store_counts=v["store_counts"])
+        store_counts=v["store_counts"],
+        input_src_slot=v["input_src_slot"])
     key = jax.random.fold_in(base_key, v["step_ctr"][0])
     return _prefill_step(params, kv_pages, last_tokens, meta, v["input_ids"],
                          key, sc=sc, use_topkp=use_topkp)
@@ -585,7 +603,15 @@ def _decode_steps_packed(params, kv_pages, last_tokens, buf, fbuf, base_key, *,
 def _prefill_step(params, kv_pages, last_tokens, meta, input_ids, key, *, sc,
                   use_topkp=False):
     """One ragged prefill: forward, last-token logits, sample, and scatter the
-    sampled tokens into the persistent per-slot buffer."""
+    sampled tokens into the persistent per-slot buffer. Mixed-batch decode
+    lanes (input_src_slot >= 0) source their single input token from the
+    device-resident last_tokens buffer."""
+    if meta.input_src_slot is not None:
+        src = meta.input_src_slot
+        starts = meta.cu_q_lens[: src.shape[0]]
+        idx = jnp.where(src >= 0, starts, input_ids.shape[0])
+        vals = last_tokens[jnp.clip(src, 0, last_tokens.shape[0] - 1)]
+        input_ids = input_ids.at[idx].set(vals, mode="drop")
     h, kv_pages = qwen3.forward(params, input_ids, meta, kv_pages, sc)
     h_last = qwen3.select_last_tokens(h, meta)
     logits = qwen3.compute_logits(params, h_last, sc)

@@ -35,6 +35,10 @@ class Scheduler:
         self.max_model_len = config.max_model_len
         self.eos = config.eos
         self.decode_steps = config.decode_steps_per_call
+        self.mixed_batches = config.mixed_prefill_decode
+        # prefill-lane count of the last mixed schedule (lanes beyond it are
+        # piggybacked single-step decodes); consumed by the engine's step
+        self.last_n_prefill = 0
         self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
@@ -113,6 +117,12 @@ class Scheduler:
         # packed to exactly max_num_batched_tokens would spill past the
         # largest warmed-up bucket into a never-precompiled double-size one.
         token_cap = self.max_num_batched_tokens - self.block_manager.block_size
+        if self.mixed_batches:
+            # leave one token of headroom per running lane so the piggyback
+            # block below is never starved by a cap-packed prefill batch
+            # (<= max_num_seqs of a >= max_model_len cap)
+            token_cap -= min(self.num_live, self.max_num_seqs)
+        self.last_n_prefill = 0
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
@@ -143,6 +153,30 @@ class Scheduler:
             self.num_live += 1
             scheduled.append(seq)
         if scheduled:
+            # Mixed batch: piggyback one decode step for already-running
+            # sequences onto this prefill dispatch (the ragged kernels
+            # handle mixed q lengths natively), so decode lanes keep
+            # advancing through prefill phases instead of stalling. Their
+            # input token lives in the device-side last_tokens buffer
+            # (it may not be materialized on the host yet); batch prep
+            # marks these lanes via input_src_slot. Opportunistic: lanes
+            # that cannot reserve a page are skipped, never preempted for.
+            self.last_n_prefill = len(scheduled)
+            if self.mixed_batches:
+                new = {id(s) for s in scheduled}
+                budget = (self.max_num_batched_tokens
+                          - self.block_manager.block_size
+                          - num_batched_tokens)
+                for seq in self.running:
+                    if (len(scheduled) >= self.max_num_seqs or budget <= 0):
+                        break
+                    if (id(seq) in new or seq.is_finished
+                            or self._max_len(seq) - seq.num_sched_tokens < 1
+                            or not self.block_manager.can_reserve(seq, 1)):
+                        continue
+                    self.block_manager.reserve(seq, 1)
+                    scheduled.append(seq)
+                    budget -= 1
             return scheduled, True, [1] * len(scheduled)
 
         # decode (reference: scheduler.py:44-58), K steps per call

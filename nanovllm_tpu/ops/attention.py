@@ -57,6 +57,11 @@ class AttnMeta(NamedTuple):
     store_row_dst_page: jax.Array  # i32[NS] logical page ids
     store_row_dst_pos: jax.Array   # i32[NS]
     store_counts: jax.Array     # i32[2]
+    # mixed prefill+decode batches: per-seq source slot of the input token
+    # (-1 = tokens came in the host upload; >= 0 = gather the lane's single
+    # input token from the device-resident last_tokens buffer — the token
+    # may not be materialized on the host yet)
+    input_src_slot: jax.Array | None = None   # i32[B]
 
 
 class DecodeMeta(NamedTuple):

@@ -392,3 +392,27 @@ def test_warmup_jit_runs_on_cpu(tiny_checkpoint, rng):
     sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
     outs = llm.generate(prompts, sp, use_tqdm=False)
     assert len(outs[0]["token_ids"]) == 6
+
+
+def test_mixed_batch_matches_unmixed(tiny_checkpoint, rng):
+    """Mixed prefill+decode batches (decode lanes piggybacked onto prefill
+    dispatches, input tokens gathered device-side from last_tokens) must be
+    token-exact vs the prefill-XOR-decode scheduler. Small token budget
+    forces admission to split across several prefills, so piggybacking
+    actually occurs."""
+    kw = dict(max_model_len=128, max_num_batched_tokens=128, max_num_seqs=8,
+              kvcache_block_size=8, num_kvcache_blocks=96,
+              attention_impl="xla", decode_bs_buckets=(2, 4, 8),
+              prefill_token_buckets=(32, 64, 128))
+    prompts = [rng.integers(0, 512, size=int(n)).tolist()
+               for n in (40, 45, 50, 9, 11)]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    mixed = LLM(tiny_checkpoint, mixed_prefill_decode=True, **kw)
+    a = mixed.generate(prompts, sp, use_tqdm=False)
+    # piggybacking must have happened: decode tokens were produced by
+    # prefill-phase calls
+    plain = LLM(tiny_checkpoint, mixed_prefill_decode=False, **kw)
+    b = plain.generate(prompts, sp, use_tqdm=False)
+    for x, y in zip(a, b):
+        assert x["token_ids"] == y["token_ids"]
+    assert mixed.metrics["decode_calls"] <= plain.metrics["decode_calls"]

@@ -62,6 +62,7 @@ def test_prefill_batches_up_to_token_budget():
         sch.add(seq(30))
     seqs, is_prefill, steps = sch.schedule()
     assert is_prefill and len(seqs) == 2  # 3rd would exceed 64 tokens
+    assert sch.last_n_prefill == 2
     run_call(sch, seqs, True, steps)
     seqs2, is_prefill2, _ = sch.schedule()
     assert is_prefill2 and len(seqs2) == 1
@@ -367,3 +368,28 @@ def test_lone_full_length_prompt_is_schedulable():
                        block_size=16))
     seqs, is_prefill, _ = sched.schedule()
     assert is_prefill and len(seqs) == 1
+
+
+def test_mixed_batch_piggybacks_running_seqs():
+    """mixed_prefill_decode: a prefill schedule appends running sequences as
+    single-step decode lanes (with a page reserved each), marked off by
+    last_n_prefill."""
+    cfg = Config(
+        hf_config=ModelConfig(max_position_embeddings=64),
+        max_num_seqs=8, max_num_batched_tokens=64, max_model_len=64,
+        kvcache_block_size=4, num_kvcache_blocks=32,
+        decode_steps_per_call=1, reserve_kv_on_admit=False,
+        mixed_prefill_decode=True)
+    sch = Scheduler(cfg)
+    a = seq(10, max_tokens=8, ignore_eos=True)
+    sch.add(a)
+    seqs, _, steps = sch.schedule()
+    run_call(sch, seqs, True, steps)
+    sch.add(seq(12, max_tokens=4))
+    seqs2, is_p2, steps2 = sch.schedule()
+    assert is_p2 and sch.last_n_prefill == 1
+    assert seqs2[1] is a and steps2 == [1, 1]
+    # engine-side bookkeeping for the mixed call
+    seqs2[0].num_sched_tokens = seqs2[0].num_tokens + 1
+    a.num_sched_tokens += 1
+    assert a.num_sched_tokens == 12  # prompt 10 + prefill token + piggyback
