@@ -194,11 +194,6 @@ class Config:
     # optima (the shipped KV dtype; bf16-page optima differ).
     attn_blocks_prefill: tuple | dict | None = (16, 256)
     attn_blocks_decode: tuple | dict | None | str = "auto"  # by KV dtype
-    # (lanes_per_step, chunk pages) for the in-house flash-decode kernel
-    # (the decode path for the rs KV modes and attention_impl="flash");
-    # tools/flash_decode_validate.py sweep picks these on hardware —
-    # round-3 v5 sweep best at B=256/ctx=1k dense int8: (4, 4).
-    flash_decode_blocks: tuple = (4, 4)
     # Pre-compile every prefill/decode shape bucket at engine init (the
     # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
     # 316-356). With the persistent jit cache this is a disk read after the

@@ -84,9 +84,9 @@ class ModelRunner:
             self.kv_dtype = jnp.int8
             self.kv_quant = ("int8", float(config.kv_cache_scale))
         elif config.kv_cache_dtype in ("int4", "int8_rs"):
-            # dynamic per-(row, head) scales in a bf16 sidecar pool; int4
+            # dynamic per-(row, head) scales in an f32 sidecar pool; int4
             # stores two nibbles per int8 byte (attention.quantize_kv).
-            # Only the in-house kernels / scratch-dequant prefill read these.
+            # Served by the in-house quantized ragged kernel.
             self.kv_dtype = jnp.int8
             self.kv_quant = (("int4_rs" if config.kv_cache_dtype == "int4"
                               else "int8_rs"), None)
@@ -155,7 +155,6 @@ class ModelRunner:
             quant_cfg=quant_cfg,
             attn_blocks_prefill=config.attn_blocks_prefill,
             attn_blocks_decode=config.attn_blocks_decode,
-            flash_decode_blocks=config.flash_decode_blocks,
             kv_quant=self.kv_quant)
 
         self._prefill_jits = {}

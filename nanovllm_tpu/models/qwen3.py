@@ -68,20 +68,16 @@ class Qwen3StaticConfig(NamedTuple):
     kv_quant: tuple | None = None
     # linear rope scaling divisor (config.rope_scaling_factor; 1.0 = none)
     rope_scaling_factor: float = 1.0
-    # (lanes_per_step, chunk) for the in-house flash-decode kernel
-    flash_decode_blocks: tuple | None = None
 
     @staticmethod
     def from_model_config(cfg: ModelConfig, *, page_size=64, pages_per_layer=0,
                           attention_impl="xla", store_interpret=False,
                           quant_cfg=None, attn_blocks_prefill=None,
-                          attn_blocks_decode=None, kv_quant=None,
-                          flash_decode_blocks=None):
+                          attn_blocks_decode=None, kv_quant=None):
         from nanovllm_tpu.config import rope_scaling_factor
         arch = cfg.architectures[0]
         return Qwen3StaticConfig(
             rope_scaling_factor=rope_scaling_factor(cfg),
-            flash_decode_blocks=flash_decode_blocks,
             num_layers=cfg.num_hidden_layers,
             num_heads=cfg.num_attention_heads,
             num_kv_heads=cfg.num_key_value_heads,
@@ -179,7 +175,6 @@ def _attention_layer(layer_p, x, kv_pages, layer_idx, meta, sc: Qwen3StaticConfi
             q, kv_pages, meta, layer_idx, scale, impl=sc.attention_impl,
             page_size=sc.page_size, pages_per_layer=sc.pages_per_layer,
             blocks=blocks, kv_quant=sc.kv_quant,
-            flash_blocks=sc.flash_decode_blocks,
             interpret=sc.store_interpret)
     out = linear_apply(layer_p["o_proj"], o.reshape(T, Hq * D), quant_cfg=qcfg)
     return out, kv_pages

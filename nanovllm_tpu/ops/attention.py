@@ -224,7 +224,6 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
 def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
                     impl: str, page_size: int, pages_per_layer: int,
                     blocks: tuple | None = None, kv_quant: tuple | None = None,
-                    flash_blocks: tuple | None = None,
                     interpret: bool = False):
     """Ragged attention of the q stream against layer ``layer_idx``'s pages.
 
@@ -234,7 +233,9 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     when the page pool is quantized — the kernel dequantizes in-VMEM; the
     row-scale modes ("int8_rs"/"int4_rs") carry a (pages, scales) tuple
     pool, served prefill AND decode by the in-house quantized ragged kernel
-    (ops/pallas/ragged_quant.py)."""
+    (ops/pallas/ragged_quant.py). ``impl="flash"`` prefers the in-house
+    kernel for dense int8 pools too (measured 0.99x the library kernel at
+    the serving decode shape, with int8-MXU matmuls)."""
     kind = kv_quant[0] if kv_quant is not None else None
     kv_scales = None
     if isinstance(kv_pages, tuple):
@@ -243,30 +244,26 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     is_decode = meta.store_page_src.shape[0] == 1  # decode-scan meta shape
     kv_scale = (kv_quant[1] if kv_quant is not None
                 and kind not in ("int8_rs", "int4_rs") else None)
-    if kv_scales is not None and impl != "xla":
-        # row-scale pools (per-(row, head) sidecar, int4 nibble packing):
-        # the in-house kernel reads them natively — no scratch dequant
+    # dense-int8 "flash" routing is geometry-gated (the kernel's lane math
+    # assumes head_dim 128); rs pools are config-gated to 128 already
+    in_house = kv_scales is not None or (impl == "flash" and kind == "int8"
+                                         and q.shape[-1] == 128)
+    if in_house and impl != "xla":
+        # in-house quantized ragged kernel: the only reader of row-scale
+        # pools (per-(row, head) sidecar, int4 nibble packing — no scratch
+        # dequant), and the opt-in path for dense int8
         from nanovllm_tpu.ops.pallas.ragged_quant import ragged_quant_attention
         bkv, bq = blocks if blocks is not None else (16, 8 if is_decode
                                                      else 256)
         return ragged_quant_attention(
             q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
-            meta.num_seqs, kv_scales, sm_scale=scale, kv_mode=kind,
+            meta.num_seqs, kv_scales, sm_scale=scale,
+            kv_mode=kind if kv_scales is not None else "int8",
+            kv_scale=None if kv_scales is not None else kv_scale,
             num_kv_pages_per_block=bkv, num_queries_per_block=bq,
             interpret=interpret)
-    if is_decode and impl == "flash":
-        # decode-scan step: q rows ARE lanes (T == B, identity slot map per
-        # engine/model_runner._decode_steps); inactive lanes read 0 context
-        from nanovllm_tpu.ops.pallas.flash_decode import flash_decode_attention
-        lens = jnp.where(meta.q_segment_ids >= 0, meta.kv_lens, 0)
-        fkw = {}
-        if flash_blocks is not None:
-            fkw = {"lanes_per_step": flash_blocks[0], "chunk": flash_blocks[1]}
-        return flash_decode_attention(
-            q, kv_pages, lens, page_indices, sm_scale=scale,
-            kv_scale=kv_scale, kv_mode="dense", **fkw)
-    # "flash" = in-house flash decode + library ragged prefill; prefill must
-    # NEVER fall through to the O(T*B*W*ps)-memory XLA oracle on TPU.
+    # library ragged kernel for dense pools; prefill must NEVER fall
+    # through to the O(T*B*W*ps)-memory XLA oracle on TPU.
     if impl in ("ragged", "flash"):
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)

@@ -141,40 +141,85 @@ def test_dense_int8_global_scale():
                                    rtol=4e-2, atol=6e-2, err_msg=f"seq {i}")
 
 
-def test_engine_serving_path_int4_cpu():
+@pytest.fixture(scope="module")
+def d128_checkpoint(tmp_path_factory):
+    """head_dim-128 tiny checkpoint (the serving geometry the kernel
+    assumes); tiny everything else."""
+    from nanovllm_tpu.config import ModelConfig
+    from nanovllm_tpu.utils.loader import save_synthetic_checkpoint
+    cfg = ModelConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2,
+        num_key_value_heads=1, head_dim=128,
+        max_position_embeddings=256)
+    d = str(tmp_path_factory.mktemp("ckpt") / "d128-qwen3")
+    save_synthetic_checkpoint(d, cfg, seed=3)
+    return d
+
+
+_ENGINE_KW = dict(max_model_len=128, max_num_batched_tokens=256,
+                  max_num_seqs=4, kvcache_block_size=16,
+                  num_kvcache_blocks=48, decode_bs_buckets=(2, 4),
+                  prefill_token_buckets=(64, 128, 256))
+
+
+def test_engine_serving_path_int4_cpu(d128_checkpoint):
     """End-to-end engine run on the REAL rs serving path (ragged impl ->
     ragged_quant kernel in interpret mode) — not the XLA oracle the other
     engine tests use. Gates the full wiring: quantize+pack store, in-house
     prefill (no scratch dequant), decode scan, prefix-cache second pass."""
-    import tempfile
-
     from nanovllm_tpu import LLM, SamplingParams
-    from nanovllm_tpu.config import ModelConfig
-    from nanovllm_tpu.utils.loader import save_synthetic_checkpoint
     rng = np.random.default_rng(11)
-    with tempfile.TemporaryDirectory() as d:
-        # head_dim 128 (the serving geometry the kernel assumes); tiny
-        # everything else
-        cfg = ModelConfig(
-            vocab_size=512, hidden_size=256, intermediate_size=512,
-            num_hidden_layers=2, num_attention_heads=2,
-            num_key_value_heads=1, head_dim=128,
-            max_position_embeddings=256)
-        save_synthetic_checkpoint(d, cfg, seed=3)
-        kw = dict(max_model_len=128, max_num_batched_tokens=256,
-                  max_num_seqs=4, kvcache_block_size=16,
-                  num_kvcache_blocks=48, decode_bs_buckets=(2, 4),
-                  prefill_token_buckets=(64, 128, 256))
-        ref = LLM(d, attention_impl="xla", **kw)
-        llm = LLM(d, attention_impl="ragged", kv_cache_dtype="int4", **kw)
-        assert llm.config.attention_impl == "ragged"
-        prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 21)]
-        sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
-        outs = llm.generate(prompts, sp, use_tqdm=False)
-        refs = ref.generate(prompts, sp, use_tqdm=False)
-        match = sum(a == b for o, r in zip(outs, refs)
-                    for a, b in zip(o["token_ids"], r["token_ids"]))
-        total = sum(len(o["token_ids"]) for o in outs)
-        assert match >= 0.7 * total, (match, total)
-        again = llm.generate(prompts, sp, use_tqdm=False)
-        assert [o["token_ids"] for o in again] == [o["token_ids"] for o in outs]
+    ref = LLM(d128_checkpoint, attention_impl="xla", **_ENGINE_KW)
+    llm = LLM(d128_checkpoint, attention_impl="ragged", kv_cache_dtype="int4",
+              **_ENGINE_KW)
+    assert llm.config.attention_impl == "ragged"
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    refs = ref.generate(prompts, sp, use_tqdm=False)
+    match = sum(a == b for o, r in zip(outs, refs)
+                for a, b in zip(o["token_ids"], r["token_ids"]))
+    total = sum(len(o["token_ids"]) for o in outs)
+    assert match >= 0.7 * total, (match, total)
+    again = llm.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in again] == [o["token_ids"] for o in outs]
+
+
+def test_rowscale_quant_roundtrip_quality():
+    """int4_rs with per-row scales bounds relative error even with 100x
+    per-row dynamic range (where a global int4 scale saturates or crushes)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((256, 16, 128)).astype(np.float32)
+    x *= np.exp(rng.uniform(-2.3, 2.3, (256, 16, 1))).astype(np.float32)
+    # quantize_kv reorders interleaved input heads K-first
+    xr = np.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
+    stored, scales = quantize_kv(jnp.asarray(x), ("int4_rs", None))
+    sc = np.asarray(take_kv_scales(scales, 16)).astype(np.float32)
+    deq = np.asarray(unpack_int4(stored)).astype(np.float32) * sc[..., None]
+    rel = np.abs(deq - xr).max(-1) / np.abs(xr).max(-1)
+    assert rel.max() < 0.08  # 1/(2*7) rounding + scale error
+    stored8, scales8 = quantize_kv(jnp.asarray(x), ("int8_rs", None))
+    sc8 = np.asarray(take_kv_scales(scales8, 16)).astype(np.float32)
+    deq8 = np.asarray(stored8).astype(np.float32) * sc8[..., None]
+    rel8 = np.abs(deq8 - xr).max(-1) / np.abs(xr).max(-1)
+    assert rel8.max() < 0.008
+
+def test_dense_int8_engine_flash_impl_cpu(d128_checkpoint):
+    """attention_impl="flash" + dense int8 KV routes decode AND prefill to
+    the in-house quantized ragged kernel (interpret on CPU); output stays
+    close to the xla-oracle int8 engine (the in-house path adds bounded
+    int8-MXU q/p quant noise)."""
+    from nanovllm_tpu import LLM, SamplingParams
+    rng = np.random.default_rng(13)
+    kw = dict(kv_cache_dtype="int8", **_ENGINE_KW)
+    ref = LLM(d128_checkpoint, attention_impl="xla", **kw)
+    llm = LLM(d128_checkpoint, attention_impl="flash", **kw)
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    refs = ref.generate(prompts, sp, use_tqdm=False)
+    match = sum(a == b for o, r in zip(outs, refs)
+                for a, b in zip(o["token_ids"], r["token_ids"]))
+    total = sum(len(o["token_ids"]) for o in outs)
+    assert match >= 0.7 * total, (match, total)
