@@ -54,8 +54,11 @@ def main():
     # BENCH_ADAPTIVE_K=0 disables the adaptive decode-scan-depth policy for
     # the EOS-workload A/B (full-K scans regardless of observed stop hazard)
     adaptive = os.environ.get("BENCH_ADAPTIVE_K", "1") != "0"
+    # BENCH_DECODE_K overrides the decode scan depth (A/B tool)
+    decode_k = int(os.environ.get("BENCH_DECODE_K", 16))
     llm = LLM(get_model_path(), max_model_len=4096, kv_cache_dtype=kv_dtype,
-              kv_reserve_fraction=reserve, adaptive_decode_steps=adaptive)
+              kv_reserve_fraction=reserve, adaptive_decode_steps=adaptive,
+              decode_steps_per_call=decode_k)
 
     # BENCH_EOS_MEAN=<n>: EOS-terminated workload variant — each sequence
     # stops unplannably after ~Geometric(1/n) tokens (stop_after stands in
