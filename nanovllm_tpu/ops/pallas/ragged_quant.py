@@ -155,6 +155,7 @@ def _kernel(
     num_kv_heads: int,
     mask_value: float = _MASK_VALUE,
     interpret: bool = False,
+    debug: str = "full",
 ):
     bq, Hq, D = q_ref.shape
     Hk = num_kv_heads
@@ -180,9 +181,10 @@ def _kernel(
             None if sc_bufs is None else sc_bufs.at[buf_idx],
             sems.at[buf_idx], page_indices_ref, seq_idx, start, end)
 
-    @pl.when(q_blk_idx == 0)
-    def _prefetch_first():
-        make_copies(init_seq_idx, 0, init_buf_idx).start()
+    if debug != "compute":
+        @pl.when(q_blk_idx == 0)
+        def _prefetch_first():
+            make_copies(init_seq_idx, 0, init_buf_idx).start()
 
     # ---- once per grid step: head-major row-quantized q ------------------
     qt = lax.transpose(q_ref[...], (1, 0, 2)).astype(jnp.float32)  # [Hq,bq,D]
@@ -319,11 +321,20 @@ def _kernel(
             kv_blk_idx, cur_buf = state
             valid, nseq, nkv, nbuf = next_ids(kv_blk_idx, cur_buf)
 
-            @pl.when(valid)
-            def _prefetch_next():
-                make_copies(nseq, nkv, nbuf).start()
+            if debug != "compute":
+                @pl.when(valid)
+                def _prefetch_next():
+                    make_copies(nseq, nkv, nbuf).start()
 
-            make_copies(cur_seq, kv_blk_idx, cur_buf).wait()
+                make_copies(cur_seq, kv_blk_idx, cur_buf).wait()
+            if debug == "dma":
+                # attribution mode: touch the buffers so copies stay live,
+                # skip the per-head compute
+                acc_ref[0] += kv_bufs[cur_buf, 0, :bq, 0, :].astype(
+                    jnp.float32)
+                if sc_bufs is not None:
+                    acc_ref[0, :, :1] += sc_bufs[cur_buf, 0, :bq, :1]
+                return kv_blk_idx + 1, nbuf
             kv_ref = kv_bufs.at[cur_buf].reshape(
                 bkv * page_size * hdim, D)
             planes = _plane_loader(kv_ref, mode=mode, num_kv_heads=Hk,
@@ -371,7 +382,7 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "kv_mode", "kv_scale", "num_kv_pages_per_block",
-    "num_queries_per_block", "vmem_limit_bytes", "interpret"))
+    "num_queries_per_block", "vmem_limit_bytes", "interpret", "debug"))
 def ragged_quant_attention(
     q,                 # [T, Hq, D]
     kv_pages,          # see module docstring per mode
@@ -388,8 +399,13 @@ def ragged_quant_attention(
     num_queries_per_block: int = 8,
     vmem_limit_bytes: int = 100 * 2**20,
     interpret: bool = False,
+    debug: str = "full",
 ):
     """Ragged paged attention over quantized pools (prefill, decode, mixed).
+
+    ``debug``: "full" | "dma" (copies only, trivial compute) | "compute"
+    (no copies) — the attribution modes tools/ragged_quant_validate.py's
+    split stage uses to bound the DMA and compute sides separately.
 
     Same calling convention as the library ragged kernel plus the scale
     sidecar. Every sequence with index < num_seqs must have kv_len >= 1.
@@ -437,12 +453,13 @@ def ragged_quant_attention(
         operands.append(kv_scales)
         body = functools.partial(
             _kernel, sm_scale=sm_scale, mode=kv_mode, kv_scale=None,
-            num_kv_heads=Hk, interpret=interpret)
+            num_kv_heads=Hk, interpret=interpret, debug=debug)
     else:
         scratch = [s for i, s in enumerate(scratch) if i != 1]
         body = functools.partial(
             _kernel_dense_entry, sm_scale=sm_scale, mode=kv_mode,
-            kv_scale=kv_scale, num_kv_heads=Hk, interpret=interpret)
+            kv_scale=kv_scale, num_kv_heads=Hk, interpret=interpret,
+            debug=debug)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

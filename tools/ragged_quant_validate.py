@@ -246,8 +246,34 @@ def prefill():
                 f"({t/t_lib:.2f}x library)")
 
 
+
+def split():
+    """Attribute int4_rs decode time: full vs dma-only vs compute-only at
+    the serving shape with the shipped blocks (4, 8)."""
+    import functools as ft
+    B, ctx, P = 256, 1024, 4200
+    rtt = _probe_rtt()
+    say(f"split[int4_rs]: B={B} ctx={ctx} blocks=(4,8) RTT={rtt*1e3:.1f} ms")
+    q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
+    q0 = np.asarray(q)
+    pool, spool, _, _ = make_rs_pool(P, "int4_rs")
+    for dbg in ("full", "dma", "compute"):
+        @ft.partial(jax.jit, donate_argnums=(0,))
+        def step(qq, pool, sp, dbg=dbg):
+            return (ragged_quant_attention(
+                qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
+                kv_mode="int4_rs", num_kv_pages_per_block=4,
+                num_queries_per_block=8, debug=dbg) * 1e-3).astype(qq.dtype)
+        try:
+            t = _timed(lambda qq: step(qq, pool, spool), q0, 20, rtt)
+            say(f"split[int4_rs]: {dbg}: {t*1e3:.3f} ms")
+        except Exception as e:  # noqa: BLE001
+            say(f"split[int4_rs]: {dbg}: FAIL {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:90]}")
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "smoke"
     say(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     {"smoke": smoke, "parity": parity, "decode": decode,
-     "prefill": prefill}[stage]()
+     "prefill": prefill, "split": split}[stage]()
