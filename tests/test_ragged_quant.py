@@ -223,3 +223,24 @@ def test_dense_int8_engine_flash_impl_cpu(d128_checkpoint):
                 for a, b in zip(o["token_ids"], r["token_ids"]))
     total = sum(len(o["token_ids"]) for o in outs)
     assert match >= 0.7 * total, (match, total)
+
+
+@pytest.mark.parametrize("dbg", ["dma", "compute"])
+def test_debug_attribution_modes_trace(dbg):
+    """The dma/compute attribution modes (tools/ragged_quant_validate.py
+    split stage) must keep tracing/running — outputs are garbage by design
+    (timing-only), so only successful execution is asserted. DMA discipline
+    note: "compute" skips ALL copy starts and waits (an ungated first
+    prefetch once wedged the real chip)."""
+    pages, spool, _ = _make_rs_pool("int4_rs", jax.random.key(1))
+    n = 4
+    pi = np.stack([np.arange(P)[:8] for _ in range(n)]).astype(np.int32)
+    q = jax.random.normal(jax.random.key(2), (n, Hq, D), jnp.float32)
+    cu = jnp.arange(n + 1, dtype=jnp.int32)
+    out = ragged_quant_attention(
+        q, pages, jnp.full((n,), 64, jnp.int32), jnp.asarray(pi), cu,
+        jnp.asarray([n], jnp.int32), spool, sm_scale=SCALE,
+        kv_mode="int4_rs", num_queries_per_block=4,
+        num_kv_pages_per_block=2, interpret=True, debug=dbg)
+    assert out.shape == (n, Hq, D)
+    np.asarray(out)  # force execution
