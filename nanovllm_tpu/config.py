@@ -257,10 +257,12 @@ class Config:
             # block optima differ by page dtype and kernel
             # (tools/attn_tune.py + tools/ragged_quant_validate.py sweeps):
             # library kernel on int8 pages wants (16, 8), bf16 (8, 16); the
-            # in-house quantized ragged kernel (rs pools) measured best at
-            # (4, 8) for B=256/ctx=1k decode
-            if self.kv_cache_dtype in ("int8_rs", "int4"):
+            # in-house quantized ragged kernel measured best at (4, 8) for
+            # int4 and (16, 16) for int8_rs at B=256/ctx=1k decode
+            if self.kv_cache_dtype == "int4":
                 self.attn_blocks_decode = (4, 8)
+            elif self.kv_cache_dtype == "int8_rs":
+                self.attn_blocks_decode = (16, 16)
             elif self.kv_cache_dtype in ("int8", "fp8"):
                 self.attn_blocks_decode = (16, 8)
             else:
