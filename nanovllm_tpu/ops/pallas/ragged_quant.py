@@ -156,6 +156,7 @@ def _kernel(
     mask_value: float = _MASK_VALUE,
     interpret: bool = False,
     debug: str = "full",
+    pv_int8: bool = False,
 ):
     bq, Hq, D = q_ref.shape
     Hk = num_kv_heads
@@ -274,6 +275,20 @@ def _kernel(
                 pv = pv.astype(jnp.float32) * (pmax * (1.0 / 127.0))
                 if kv_scale is not None:
                     pv = pv * kv_scale
+            elif pv_int8:
+                # MEASURED-REJECTED experiment (kept for the record): int8
+                # PV for rs pools ran 2.7x SLOWER than bf16 PV (2.80 vs
+                # 1.04 ms at B=256/ctx=1k) — the per-head rowmax+round+cast
+                # passes cost more than the halved MXU tiles save — and
+                # adds quant noise proportional to the in-block V-scale
+                # spread. tools/ragged_quant_validate.py pv8.
+                p_s = p * scv
+                pmax = jnp.maximum(jnp.max(p_s, axis=1, keepdims=True),
+                                   1e-30)
+                p_i8 = jnp.round(p_s * (127.0 / pmax)).astype(jnp.int8)
+                pv = lax.dot_general(p_i8, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                pv = pv.astype(jnp.float32) * (pmax * (1.0 / 127.0))
             else:
                 # rs: V row scales fold into p, whose dynamic range then
                 # spans the scale outliers — int8 row quant would crush the
@@ -382,7 +397,8 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "kv_mode", "kv_scale", "num_kv_pages_per_block",
-    "num_queries_per_block", "vmem_limit_bytes", "interpret", "debug"))
+    "num_queries_per_block", "vmem_limit_bytes", "interpret", "debug",
+    "pv_int8"))
 def ragged_quant_attention(
     q,                 # [T, Hq, D]
     kv_pages,          # see module docstring per mode
@@ -400,6 +416,7 @@ def ragged_quant_attention(
     vmem_limit_bytes: int = 100 * 2**20,
     interpret: bool = False,
     debug: str = "full",
+    pv_int8: bool = False,
 ):
     """Ragged paged attention over quantized pools (prefill, decode, mixed).
 
@@ -453,7 +470,8 @@ def ragged_quant_attention(
         operands.append(kv_scales)
         body = functools.partial(
             _kernel, sm_scale=sm_scale, mode=kv_mode, kv_scale=None,
-            num_kv_heads=Hk, interpret=interpret, debug=debug)
+            num_kv_heads=Hk, interpret=interpret, debug=debug,
+            pv_int8=pv_int8)
     else:
         scratch = [s for i, s in enumerate(scratch) if i != 1]
         body = functools.partial(

@@ -272,8 +272,40 @@ def split():
                 f"{str(e).splitlines()[0][:90]}")
 
 
+def pv8():
+    """int8-PV experiment: timing + accuracy of pv_int8=True for int4_rs
+    at the serving decode shape vs the bf16-PV default and the dequant
+    oracle (realistic, non-adversarial scale spread from N(0,1) rows)."""
+    import functools as ft
+    B, ctx, P = 256, 1024, 4200
+    rtt = _probe_rtt()
+    say(f"pv8: B={B} ctx={ctx} blocks=(4,8) RTT={rtt*1e3:.1f} ms")
+    q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
+    q0 = np.asarray(q)
+    pool, spool, stored, scales = make_rs_pool(P, "int4_rs")
+    deq = dequant_interleaved(stored, scales, "int4_rs")
+    outs = {}
+    for name, kw in (("bf16pv", {}), ("int8pv", {"pv_int8": True})):
+        @ft.partial(jax.jit, donate_argnums=(0,))
+        def step(qq, pool, sp, kw=kw):
+            return (ragged_quant_attention(
+                qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
+                kv_mode="int4_rs", num_kv_pages_per_block=4,
+                num_queries_per_block=8, **kw) * 1e-3).astype(qq.dtype)
+        t = _timed(lambda qq: step(qq, pool, spool), q0, 20, rtt)
+        say(f"pv8: {name}: {t*1e3:.3f} ms")
+        outs[name] = ragged_quant_attention(
+            q, pool, lens, pi, cu, num, spool, sm_scale=SCALE,
+            kv_mode="int4_rs", num_kv_pages_per_block=4,
+            num_queries_per_block=8, **kw)
+    ref = library_ref(q, deq, lens, pi, cu, num)
+    for name, out in outs.items():
+        say(f"pv8: {name} maxdiff vs dequant-oracle = "
+            f"{maxdiff(out, ref):.5f}")
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "smoke"
     say(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     {"smoke": smoke, "parity": parity, "decode": decode,
-     "prefill": prefill, "split": split}[stage]()
+     "prefill": prefill, "split": split, "pv8": pv8}[stage]()
