@@ -62,7 +62,10 @@ class ExperimentResults:
         print(f"result {verb} → {self.filepath}")
 
     def exists(self, test, real, quant, dtype, group_size=None,
-               kv_dtype=None) -> bool:
+               kv_dtype="auto") -> bool:
+        # kv_dtype defaults to "auto" to match rows written by the harness
+        # (_base_result carries args.kv_dtype, whose argparse default is
+        # "auto") — a default probe must be able to match a default row
         probe = dict(zip(KEY_FIELDS,
                          (test, real, quant, dtype, group_size, kv_dtype),
                          strict=True))

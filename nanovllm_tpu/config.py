@@ -120,16 +120,15 @@ class Config:
     group_size: int = 128
     # KV-cache storage dtype. "auto" = model dtype. "int8"/"fp8" halve the
     # page bytes (≈2x the concurrent batch on a capacity-bound workload);
-    # "int8_rs" adds dynamic per-(row, head) scales in an f32 sidecar
-    # (removes the global-scale clipping hazard on unnormalized V rows; the
-    # 128-lane-padded f32 sidecar adds 25% to int8 page bytes); "int4"
-    # halves the data bytes again — K|V nibbles of each head pair packed per
-    # byte, same per-row scales (the padded sidecar is then 50% of the
-    # 512 B/row data, so int4 capacity is ~1.33x int8). The reference
-    # reserves this knob but never implements it (config.py:24 comment).
-    # The _rs/int4 pools are served prefill AND decode by the in-house
-    # quantized ragged kernel (ops/pallas/ragged_quant.py), which round-4
-    # measured at 0.72x the library int8 kernel's decode wall.
+    # "int8_rs" adds dynamic per-(row, head) scales in a log-encoded int8
+    # sidecar (removes the global-scale clipping hazard on unnormalized V
+    # rows; +128 B/token-row = 6.25% over int8 pages); "int4" halves the
+    # data bytes again — K|V nibbles of each head pair packed per byte,
+    # same per-row scales (row = 1024 B data + 128 B scales, so int4
+    # capacity is ~1.78x int8). The reference reserves this knob but never
+    # implements it (config.py:24 comment). The _rs/int4 pools are served
+    # prefill AND decode by the in-house quantized ragged kernel
+    # (ops/pallas/ragged_quant.py).
     kv_cache_dtype: str = "auto"      # auto | int8 | fp8 | int8_rs | int4
     # Global dequant scale for plain int8 KV (stored = round(x / scale)).
     # Qwen3's per-head q/k RMSNorm keeps |k| ~ O(1); for int8, 1/16 covers
@@ -245,14 +244,16 @@ class Config:
                     f"kv_cache_dtype={self.kv_cache_dtype!r} requires "
                     f"head_dim 128 (ragged_quant kernel), got "
                     f"{self.hf_config.head_dim}")
-            if self.tensor_parallel_size != 1:
-                # rs pools are K-first ([0:Hk]=K, [Hk:]=V): sharding the
-                # combined-head axis would split matching K/V pairs across
-                # devices and break the kernel's contiguous K/V lane slices.
+            # rs pools interleave K/V per head (round 5) and shard on the
+            # head axis like the dense pools; the int8 log-scale sidecar is
+            # replicated (parallel/sharding.kv_scales_sharding). tp must
+            # divide the kv heads so every device holds whole K/V pairs.
+            if self.hf_config.num_key_value_heads % self.tensor_parallel_size:
                 raise ValueError(
-                    f"kv_cache_dtype={self.kv_cache_dtype!r} does not "
-                    f"compose with tensor_parallel_size="
-                    f"{self.tensor_parallel_size} yet (K-first pool layout)")
+                    f"kv_cache_dtype={self.kv_cache_dtype!r} requires "
+                    f"tensor_parallel_size ({self.tensor_parallel_size}) to "
+                    f"divide num_key_value_heads "
+                    f"({self.hf_config.num_key_value_heads})")
         if self.attn_blocks_decode == "auto":
             # block optima differ by page dtype and kernel
             # (tools/attn_tune.py + tools/ragged_quant_validate.py sweeps):

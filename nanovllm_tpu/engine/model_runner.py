@@ -322,8 +322,9 @@ class ModelRunner:
             from nanovllm_tpu.ops.attention import kv_scale_width
             data = row_heads * hf.head_dim // (
                 2 if self.kv_quant[0] == "int4_rs" else 1)
+            # + one int8 log-scale row per token (encode_kv_scales)
             return (hf.num_hidden_layers * self.page_size
-                    * (data + 4 * kv_scale_width(row_heads)))
+                    * (data + kv_scale_width(row_heads)))
         bits = jnp.finfo(self.kv_dtype).bits if jnp.issubdtype(
             self.kv_dtype, jnp.floating) else jnp.iinfo(self.kv_dtype).bits
         return (hf.num_hidden_layers * self.page_size
@@ -380,7 +381,7 @@ class ModelRunner:
                          if self.plan is not None else None)
             zeros = jax.jit(
                 lambda: (jnp.zeros(shape, self.kv_dtype),
-                         jnp.zeros(sshape, jnp.float32)),
+                         jnp.zeros(sshape, jnp.int8)),
                 out_shardings=((sharding, ssharding)
                                if sharding is not None else None))
         else:

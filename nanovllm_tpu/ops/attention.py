@@ -98,31 +98,45 @@ def combine_kv(k, v):
     return jnp.stack([k, v], axis=2).reshape(T, 2 * Hk, D)
 
 
+# Per-(row, head) KV scales are stored LOG-ENCODED in an int8 sidecar:
+# e = ceil(8 * log2(scale)) clamped to ±127, dequantized as 2^(e/8).
+# Why: TPU HBM arrays physically pad the minor dim to 128 lanes (a
+# [ps, 2Hk=16] f32 page occupies — and DMAs — [ps, 128] f32 bytes; Mosaic
+# rejects sub-128 slices of the padded memref), so a "slim" narrow sidecar
+# saves nothing, and an f32 row's 128 mandatory lanes cost 512 B for 64
+# useful bytes (33% of int4 decode traffic, measured round 4). An int8 row
+# costs 128 B — 4x slimmer — and the ceil rounding makes the stored scale
+# >= the exact absmax scale, so quantization never clips; the step 2^(1/8)
+# adds at most 9% (mean ~4.4%) to the rounding noise, gated by the
+# engine-level logit-KL tests (tests/test_kv_quality.py).
+KV_SCALE_STEP = 0.125       # e counts eighths of an octave
+_KV_SCALE_EMAX = 127        # scale range 2^(±127/8) ≈ [1.6e-5, 6.1e4]
+
+
 def kv_scale_width(num_combined_heads: int) -> int:
-    """Lane-padded width of one sidecar scale row.
-
-    Mosaic DMAs require 128-lane-aligned blocks (a [ps, 2Hk=16] bf16 block
-    crashes the memref slicer), so scale rows are stored 128 lanes wide:
-    heads contiguous in the first 2Hk lanes, zero padding after (the
-    contiguous [:, :2Hk] slice is what the decode kernel's per-chunk scale
-    transpose wants). Under TP the sidecar is replicated — it is ~3% of the
-    page pool (see parallel/sharding.kv_scales_sharding)."""
-    return -(-num_combined_heads // 128) * 128
+    """Stored lane width of one int8 sidecar scale row (the 128-lane
+    physical minimum; lanes [0:2Hk] hold the log-encoded scales in
+    interleaved head order K0 V0 K1 V1 ..., the rest are padding)."""
+    assert num_combined_heads <= 128
+    return 128
 
 
-def pad_kv_scales(scales):
-    """[..., 2Hk] → [..., SW]: zero-pad the lane dim to the stored width."""
-    hk2 = scales.shape[-1]
-    sw = kv_scale_width(hk2)
-    if sw == hk2:
-        return scales
-    pad = [(0, 0)] * (scales.ndim - 1) + [(0, sw - hk2)]
-    return jnp.pad(scales, pad)
+def encode_kv_scales(scales):
+    """f32 scales [..., 2Hk] → (e int8 [..., 128] lane-padded, decoded f32
+    scales [..., 2Hk]). The DECODED value (2^(e/8) >= scales) must be used
+    for quantizing the data so store and kernel agree exactly."""
+    e = jnp.clip(jnp.ceil(jnp.log2(scales) * (1.0 / KV_SCALE_STEP)),
+                 -_KV_SCALE_EMAX, _KV_SCALE_EMAX)
+    decoded = jnp.exp2(e * KV_SCALE_STEP)
+    sw = kv_scale_width(scales.shape[-1])
+    pad = [(0, 0)] * (scales.ndim - 1) + [(0, sw - scales.shape[-1])]
+    return jnp.pad(e.astype(jnp.int8), pad), decoded
 
 
-def take_kv_scales(padded, num_combined_heads: int):
-    """[..., SW] → [..., 2Hk]: inverse of pad_kv_scales."""
-    return padded[..., :num_combined_heads]
+def take_kv_scales(stored, num_combined_heads: int):
+    """int8 e-rows [..., 128] → decoded f32 scales [..., 2Hk]."""
+    e = stored[..., :num_combined_heads].astype(jnp.float32)
+    return jnp.exp2(e * KV_SCALE_STEP)
 
 
 def quantize_kv(kv_new, kv_quant: tuple):
@@ -135,17 +149,16 @@ def quantize_kv(kv_new, kv_quant: tuple):
     reference, which reserves kv-cache dtype config but never implements it.
 
     ("int8_rs"|"int4_rs", _): dynamic per-(row, head) scales — returns
-    (stored, scales f32[T, SW] lane-padded, see kv_scale_width). Unlike the
-    dense pools (interleaved K/V heads for the library ragged kernel), the
-    rs pools are read ONLY by the in-house flash-decode kernel and use a
-    **K-first** head axis: rows/scales index [0:Hk] = K heads, [Hk:2Hk] = V
-    heads, so the kernel's whole-tile K and V slices are contiguous.
+    (stored, e-rows int8[T, 128] log-encoded, see encode_kv_scales). The rs
+    pools keep the dense pools' **interleaved** combined-head axis (K at
+    even, V at odd indices) so every pool shards identically on the head
+    axis under TP (parallel/sharding.kv_sharding).
     int4_rs packs a head pair's values as one int8 byte b = 16*V + K
     (K, V in [-7, 7], uniquely decodable) — the packed row [Hk, D] keeps the
-    full 128-lane minor dim Mosaic's DMA slicer requires, and the kernel
-    recovers q·K from two matmuls (q@b - 16*(q@V)) without unpacking K.
+    full 128-lane minor dim Mosaic's DMA slicer requires.
     Per-row scales remove the global-scale clipping hazard on unnormalized V
-    rows."""
+    rows; the ceil'd log encoding preserves that (stored scale >= absmax
+    scale, never clips)."""
     kind, scale = kv_quant
     if kind == "int8":
         q = jnp.round(kv_new.astype(jnp.float32) * (1.0 / scale))
@@ -153,36 +166,28 @@ def quantize_kv(kv_new, kv_quant: tuple):
     if kind == "fp8":
         return kv_new.astype(jnp.float8_e4m3fn)
     if kind in ("int8_rs", "int4_rs"):
-        # interleaved combined heads (combine_kv) → K-first
-        x = jnp.concatenate([kv_new[..., 0::2, :], kv_new[..., 1::2, :]],
-                            axis=-2).astype(jnp.float32)
+        x = kv_new.astype(jnp.float32)                  # [T, 2Hk, D]
         qmax = 127.0 if kind == "int8_rs" else 7.0
         absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-8)  # [T, 2Hk]
-        qv = jnp.clip(jnp.round(x * (qmax / absmax[..., None])),
+        e_rows, dec = encode_kv_scales(absmax * (1.0 / qmax))
+        qv = jnp.clip(jnp.round(x * (1.0 / dec[..., None])),
                       -qmax, qmax).astype(jnp.int8)
         if kind == "int4_rs":
-            Hk = qv.shape[-2] // 2
-            k, v = qv[..., :Hk, :], qv[..., Hk:, :]     # [T, Hk, D] each
+            k, v = qv[..., 0::2, :], qv[..., 1::2, :]   # [T, Hk, D] each
             qv = (16 * v + k).astype(jnp.int8)          # b in [-119, 119]
-        # Scales are stored f32, not bf16: Mosaic's memref slicer rejects
-        # dynamic leading-dim slices of (2,1)-packed bf16 streams (the store
-        # ring kernel's page copy needs a provably-even packed-sublane
-        # offset; remote-compile HTTP 500 on v5e), while f32's (1,1) packing
-        # slices anywhere. The stored (128-lane-padded) f32 sidecar is 25%
-        # of int8_rs data bytes / 50% of int4 data bytes — only the 2Hk=16
-        # useful lanes are small; the v6 flat-table layout is what shrinks
-        # the stored overhead to ~3%/6%.
-        return qv, pad_kv_scales((absmax * (1.0 / qmax)).astype(jnp.float32))
+        return qv, e_rows
     raise ValueError(f"unknown kv_quant kind {kind!r}")
 
 
 def unpack_int4(packed):
-    """KV-packed bytes b = 16*V + K [..., Hk, D] → K-first combined rows
-    [..., 2Hk, D] int8 ([0:Hk] = K heads, [Hk:] = V heads)."""
+    """KV-packed bytes b = 16*V + K [..., Hk, D] → interleaved combined rows
+    [..., 2Hk, D] int8 (K at even, V at odd indices)."""
     b = packed.astype(jnp.int32)
     v = (b + 8) >> 4                 # = round-to-floor((b + 8) / 16)
     k = b - 16 * v
-    return jnp.concatenate([k, v], axis=-2).astype(jnp.int8)
+    kv = jnp.stack([k, v], axis=-2)  # [..., Hk, 2, D]
+    shape = packed.shape[:-2] + (2 * packed.shape[-2], packed.shape[-1])
+    return kv.reshape(shape).astype(jnp.int8)
 
 
 def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
@@ -194,10 +199,10 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
     and takes the unrolled row-store kernel; prefill metas take the general
     ring kernel with full-page copies.
 
-    Row-scale KV modes pass tuples: kv_pages = (pages, scale pool
-    [P, ps, SW]) and kv_new = (rows, scales [T, SW]) with SW the lane-padded
-    scale width (kv_scale_width); the same store kernels move both (they are
-    layout-generic over the trailing dims)."""
+    Row-scale KV modes pass tuples: kv_pages = (pages, int8 e-scale pool
+    [P, ps, 128]) and kv_new = (rows, e-rows int8 [T, 128], see
+    encode_kv_scales); the same store kernels move both (they are
+    layout-generic over the trailing dims and dtypes)."""
     from nanovllm_tpu.ops.pallas.kv_store import kv_store, kv_store_rows
     off = layer_idx * pages_per_layer
     if isinstance(kv_pages, tuple):
@@ -302,16 +307,13 @@ def _paged_attention_xla(q, kv_pages, meta: AttnMeta, page_indices, scale, *,
     rows = rows.reshape(B, S, Hk2, D).astype(jnp.float32)
     if kv_scale is not None:
         rows = rows * kv_scale
-    if kv_scales is not None:  # per-(row, head) sidecar scales (lane-padded)
+    if kv_scales is not None:  # per-(row, head) log-encoded sidecar scales
         srow = take_kv_scales(
             jnp.take(kv_scales, page_indices.reshape(-1), axis=0), Hk2)
         rows = rows * srow.reshape(B, S, Hk2, 1).astype(jnp.float32)
-    if kv_scales is not None:  # rs pools use the K-first head axis
-        k = rows[:, :, :Hk, :]    # [B, S, Hk, D]
-        v = rows[:, :, Hk:, :]
-    else:                      # dense pools interleave (library layout)
-        k = rows[:, :, 0::2, :]
-        v = rows[:, :, 1::2, :]
+    # every pool interleaves combined heads (K at even, V at odd)
+    k = rows[:, :, 0::2, :]
+    v = rows[:, :, 1::2, :]
     seg = jnp.clip(meta.q_segment_ids, 0, B - 1)
     kt = jnp.take(k, seg, axis=0)                 # [T, S, Hk, D]
     vt = jnp.take(v, seg, axis=0)

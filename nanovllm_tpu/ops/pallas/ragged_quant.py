@@ -27,9 +27,12 @@ and why it goes *below* that floor on int4 pools:
   matmuls then ride the v5e's 394-TOPS int8 pipe at 2x the bf16 tile rate
   (rs modes keep bf16 PV: per-row V scales fold into p, whose dynamic
   range would crush an int8 row quant — measured 6% output error).
-- **Per-(row, head) scale sidecar** [P, ps, SW] f32 (K-first lanes, see
-  ops.attention.kv_scale_width), DMA'd alongside the data pages. Scales
-  apply *compactly*: one [Tkv, 2Hk] -> [2Hk, Tkv] transpose per kv-block,
+- **Per-(row, head) scale sidecar** [P, ps, 128] int8, LOG-encoded
+  (scale = 2^(e/8), ops.attention.encode_kv_scales), DMA'd alongside the
+  data pages. TPU HBM pads every array's minor dim to 128 lanes, so a row
+  costs 128 lanes regardless — int8 makes that 128 B where round-4's f32
+  sidecar paid 512 B (33% of int4 decode traffic). Scales apply
+  *compactly*: one [Tkv, 2Hk] -> [2Hk, Tkv] transpose + exp2 per kv-block,
   then per-head [1, Tkv] row slices multiply the scores (K) and the
   probabilities (V). This sidesteps the all-pairs layout's per-column
   "lane-stretch", which Mosaic cannot do efficiently (reshape: unsupported
@@ -39,11 +42,12 @@ and why it goes *below* that floor on int4 pools:
   across the head loop (row token = row % bq). One [bq, Hq] <-> [Hq, bq]
   transpose per grid step replaces 8 sub-tile head slices per kv block.
 
-Modes:
-  int4_rs — [P, ps, Hk, D] packed nibbles + f32 scale sidecar
-  int8_rs — [P, ps, 2Hk, D] int8, K-first head axis + f32 scale sidecar
-  int8    — [P, ps, 2Hk, D] int8, interleaved (library layout), global
-            k/v scale; dense decode/prefill on the int8-MXU path
+Modes (all pools interleave combined heads — K even, V odd — so every pool
+shards identically on the head axis under TP):
+  int4_rs — [P, ps, Hk, D] packed nibbles + int8 log-scale sidecar
+  int8_rs — [P, ps, 2Hk, D] int8 + int8 log-scale sidecar
+  int8    — [P, ps, 2Hk, D] int8, global k/v scale; dense decode/prefill
+            on the int8-MXU path
 """
 
 import functools
@@ -53,6 +57,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from nanovllm_tpu.ops.attention import KV_SCALE_STEP
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -115,10 +121,9 @@ def _plane_loader(kv_ref, *, mode, num_kv_heads, interpret):
             v32 = (plane + 8) >> 4                 # V nibble
             k32 = plane - (v32 << 4)               # K nibble
             return k32.astype(jnp.int8), v32.astype(jnp.int8)
-        # int8 rows: hdim = 2Hk. K-first: K_h at combined row h, V_h at
-        # Hk + h; interleaved (dense): K_h at 2h, V_h at 2h + 1.
-        k_row, v_row = ((h, Hk + h) if mode == "int8_rs"
-                        else (2 * h, 2 * h + 1))
+        # int8 rows: hdim = 2Hk, interleaved: K_h at 2h, V_h at 2h + 1
+        # (int8_rs and dense share the layout since round 5)
+        k_row, v_row = 2 * h, 2 * h + 1
         if interpret:
             return kv_ref[k_row::2 * Hk, :], kv_ref[v_row::2 * Hk, :]
         return byte_plane(k_row), byte_plane(v_row)
@@ -141,7 +146,7 @@ def _kernel(
     o_ref,             # [bq, Hq, D]
     # scratch
     kv_bufs,           # [2, bkv, ps, hdim, D] int8
-    sc_bufs,           # [2, bkv, ps, SW] f32, or None
+    sc_bufs,           # [2, bkv, ps, SW] int8 log-scales, or None
     sems,              # DMA [2]
     l_ref,             # f32[Hk, G * bq, 128]   rows in (g, token) order
     m_ref,             # f32[Hk, G * bq, 128]
@@ -178,7 +183,8 @@ def _kernel(
         end = jnp.minimum(pages_per_seq,
                           pl.cdiv(kv_lens_ref[seq_idx], page_size))
         return _PageCopies(
-            pages_hbm, scales_hbm, kv_bufs.at[buf_idx],
+            pages_hbm, None if debug == "dma_data" else scales_hbm,
+            kv_bufs.at[buf_idx],
             None if sc_bufs is None else sc_bufs.at[buf_idx],
             sems.at[buf_idx], page_indices_ref, seq_idx, start, end)
 
@@ -342,13 +348,18 @@ def _kernel(
                     make_copies(nseq, nkv, nbuf).start()
 
                 make_copies(cur_seq, kv_blk_idx, cur_buf).wait()
+            if debug == "dma_data":
+                acc_ref[0] += kv_bufs[cur_buf, 0, :bq, 0, :].astype(
+                    jnp.float32)
+                return kv_blk_idx + 1, nbuf
             if debug == "dma":
                 # attribution mode: touch the buffers so copies stay live,
                 # skip the per-head compute
                 acc_ref[0] += kv_bufs[cur_buf, 0, :bq, 0, :].astype(
                     jnp.float32)
                 if sc_bufs is not None:
-                    acc_ref[0, :, :1] += sc_bufs[cur_buf, 0, :bq, :1]
+                    acc_ref[0, :, :1] += sc_bufs[cur_buf, 0, :bq, :1].astype(
+                        jnp.float32)
                 return kv_blk_idx + 1, nbuf
             kv_ref = kv_bufs.at[cur_buf].reshape(
                 bkv * page_size * hdim, D)
@@ -361,14 +372,14 @@ def _kernel(
                 - q_len_start + q_start
             mask_add = jnp.where(tok_minus_col < thresh, mask_value, 0.0)
             if with_scales:
-                sc = sc_bufs[cur_buf].reshape(
-                    kv_per_blk, -1)[:, :2 * Hk]          # [Tkv, 2Hk] f32
-                sc_t = lax.transpose(sc, (1, 0))         # [2Hk, Tkv]
+                e = sc_bufs[cur_buf].reshape(
+                    kv_per_blk, -1)[:, :2 * Hk]          # [Tkv, 2Hk] int8
+                sc_t = lax.transpose(e.astype(jnp.float32), (1, 0))
+                sc_t = jnp.exp2(sc_t * KV_SCALE_STEP)    # [2Hk, Tkv]
                 # zero scales past kv_len unconditionally: those rows were
-                # never DMA'd this block, and stale f32 VMEM (NaN-init in
-                # interpret mode, arbitrary bits on hardware) can be NaN —
-                # which would poison the causally-masked scores (NaN *
-                # anything) where int8 data garbage cannot
+                # never DMA'd this block; stale VMEM bits decode to finite
+                # (but arbitrary) scales that would leak through the
+                # causally-masked scores' exp() renormalization
                 cols = lax.broadcasted_iota(jnp.int32, sc_t.shape, 1)
                 sc_t = jnp.where(
                     cols < kv_len - kv_blk_idx * kv_per_blk, sc_t, 0.0)
@@ -376,8 +387,8 @@ def _kernel(
                 k_h, v_h = planes(h)
                 head_attention(
                     h, k_h, v_h,
-                    sc_t[h:h + 1, :] if with_scales else None,
-                    sc_t[Hk + h:Hk + h + 1, :] if with_scales else None,
+                    sc_t[2 * h:2 * h + 1, :] if with_scales else None,
+                    sc_t[2 * h + 1:2 * h + 2, :] if with_scales else None,
                     mask_add, kv_blk_idx)
             return kv_blk_idx + 1, nbuf
 
@@ -420,7 +431,8 @@ def ragged_quant_attention(
 ):
     """Ragged paged attention over quantized pools (prefill, decode, mixed).
 
-    ``debug``: "full" | "dma" (copies only, trivial compute) | "compute"
+    ``debug``: "full" | "dma" (copies only, trivial compute) | "dma_data"
+    (data copies only — isolates the scale sidecar's DMA cost) | "compute"
     (no copies) — the attribution modes tools/ragged_quant_validate.py's
     split stage uses to bound the DMA and compute sides separately.
 
@@ -440,6 +452,7 @@ def ragged_quant_attention(
         assert kv_scales is not None and kv_scale is None
         SW = kv_scales.shape[-1]
         assert kv_scales.shape == (P, page_size, SW), kv_scales.shape
+        assert kv_scales.dtype == jnp.int8, kv_scales.dtype  # log-encoded
     else:
         assert kv_scales is None
     if not interpret:
@@ -466,7 +479,7 @@ def ragged_quant_attention(
                 jnp.array((0, 0), jnp.int32), num_seqs, q, kv_pages]
     if rs:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch[1] = pltpu.VMEM((2, bkv, page_size, SW), jnp.float32)
+        scratch[1] = pltpu.VMEM((2, bkv, page_size, SW), jnp.int8)
         operands.append(kv_scales)
         body = functools.partial(
             _kernel, sm_scale=sm_scale, mode=kv_mode, kv_scale=None,

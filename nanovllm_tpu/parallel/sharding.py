@@ -106,20 +106,18 @@ class ShardingPlan:
         return _unflatten(out)
 
     def kv_sharding(self) -> NamedSharding:
-        # pooled pages [L*P, page_size, 2*Hk, D]: shard combined kv heads.
-        # Valid for DENSE pools only — interleaved K/V pairs stay together
-        # while tp <= Hk. The row-scale pools are K-first ([0:Hk]=K, [Hk:]=V),
-        # where a head shard would split matching K/V pairs across devices;
-        # Config rejects kv_cache_dtype int8_rs/int4 with
-        # tensor_parallel_size > 1 (config.py) until the flash kernel is
-        # TP-aware.
+        # pooled pages [L*P, page_size, {2Hk | Hk}, D]: shard the head axis.
+        # Every pool interleaves K/V per head since round 5 — dense and
+        # int8_rs as [K0 V0 K1 V1 ...] combined rows (pairs stay together
+        # while tp <= Hk), int4 as one packed byte-plane per head — so the
+        # same head-axis shard is valid for all of them.
         return NamedSharding(self.mesh, P(None, None, "model", None))
 
     def kv_scales_sharding(self) -> NamedSharding:
-        # row-scale sidecar [L*P, page_size, SW]: the lane dim packs all
-        # heads into its first 2Hk lanes (ops.attention.kv_scale_width), so
-        # head-sharding it would misalign; replicate — the sidecar is ~3%
-        # of the page pool's bytes
+        # log-scale sidecar [L*P, page_size, 128] int8: the row packs all
+        # 2Hk head scales into its first lanes (the 128-lane row is the HBM
+        # physical minimum), so head-sharding the padded lane dim would
+        # misalign; replicate — the sidecar is ~11% of int4 page bytes
         return NamedSharding(self.mesh, P(None, None, None))
 
 

@@ -41,10 +41,14 @@ def test_rs_kv_requires_head_dim_128():
            kv_cache_dtype="int8")
 
 
-def test_rs_kv_rejects_tensor_parallel():
-    with pytest.raises(ValueError, match="tensor_parallel_size"):
-        Config(hf_config=_mc(), attention_impl="xla",
-               kv_cache_dtype="int4", tensor_parallel_size=2)
+def test_rs_kv_tensor_parallel_composes():
+    # rs pools shard on the head axis since round 5 — tp must divide Hk
+    cfg = Config(hf_config=_mc(), attention_impl="xla",
+                 kv_cache_dtype="int4", tensor_parallel_size=2)
+    assert cfg.tensor_parallel_size == 2
+    with pytest.raises(ValueError, match="num_key_value_heads"):
+        Config(hf_config=_mc(num_key_value_heads=2), attention_impl="xla",
+               kv_cache_dtype="int4", tensor_parallel_size=4)
 
 
 def test_rope_scaling_unsupported_type_fails_loudly():

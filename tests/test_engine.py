@@ -221,6 +221,40 @@ def test_adaptive_decode_k_reduces_waste(tiny_checkpoint, rng):
     assert adaptive._pick_decode_steps() < 8
 
 
+def test_metrics_decode_accounting(tiny_checkpoint, rng):
+    """The metrics dict's decode accounting (the arithmetic behind bench.py's
+    avg_decode_lanes stderr diagnostic) must agree with the scheduler's own
+    token counts: on a plannable (no stop hazard) workload every scheduled
+    decode token is used, used tokens equal the delivered completions minus
+    the prefill-sampled first tokens, and lane occupancy derived from
+    decode_scan_steps is bounded by the batch."""
+    K = 8
+    llm = LLM(tiny_checkpoint, max_model_len=128, max_num_batched_tokens=256,
+              max_num_seqs=8, kvcache_block_size=8, num_kvcache_blocks=96,
+              attention_impl="xla", decode_steps_per_call=K, async_lag=2)
+    n = 6
+    prompts = [rng.integers(0, 512, size=5 + i).tolist() for i in range(n)]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    m = llm.metrics
+    delivered = sum(len(o["token_ids"]) for o in outs)
+    assert delivered == n * 12
+    # tokens_appended counts every materialized completion token (incl. the
+    # prefill-sampled first token of each seq)
+    assert m["decode_tokens_used"] == delivered
+    # ignore_eos + exact max_tokens scheduling: nothing speculated past a stop
+    assert m["decode_tokens_wasted"] == 0
+    # scheduled decode steps = completions minus the n prefill-sampled tokens
+    assert m["decode_tokens"] == delivered - n
+    assert m["unplanned_finishes"] == 0
+    # avg decode lanes (bench.py diagnostic) is a true occupancy: bounded by
+    # the batch, and scan steps bounded by calls * K
+    assert m["decode_calls"] > 0 and m["decode_scan_steps"] > 0
+    lanes = m["decode_tokens"] / m["decode_scan_steps"]
+    assert 1.0 <= lanes <= n
+    assert m["decode_scan_steps"] <= m["decode_calls"] * K
+
+
 def test_sampler_full_vocab_fallback():
     """A nucleus wider than the 64-candidate pool falls back to the exact
     full-vocab path: a flat 256-token distribution with top_p=0.95 must
@@ -306,7 +340,8 @@ def test_rowscale_kv_engine_matches_bf16_greedy(tiny_checkpoint, engine,
         kv_cache_dtype=kv_dtype,
     )
     pages, scales = llm.model_runner.kv_pages
-    assert pages.dtype == jnp.int8 and scales.dtype == jnp.float32
+    # the sidecar stores log-encoded int8 scales (attention.encode_kv_scales)
+    assert pages.dtype == jnp.int8 and scales.dtype == jnp.int8
     hf = llm.config.hf_config
     # int4 packs the K|V nibbles of a head pair per byte: half the head dim,
     # full 128-lane minor dim (Mosaic DMA alignment)

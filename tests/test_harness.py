@@ -87,19 +87,26 @@ def test_experiment_results_resume(tmp_path):
     from experiments import ExperimentResults
     path = tmp_path / "results.jsonl"
     er = ExperimentResults(path)
+    # harness-shaped rows: _base_result always carries kv_dtype (argparse
+    # default "auto")
     er.save_or_update({"test": "mmlu", "real": True, "quant": "row",
-                       "dtype": "int8", "group_size": None, "accuracy": 50.0})
+                       "dtype": "int8", "group_size": None,
+                       "kv_dtype": "auto", "accuracy": 50.0})
     er.save_or_update({"test": "mmlu", "real": True, "quant": "row",
-                       "dtype": "int8", "group_size": None, "accuracy": 51.0})
+                       "dtype": "int8", "group_size": None,
+                       "kv_dtype": "auto", "accuracy": 51.0})
     er.save_or_update({"test": "ppl", "real": False, "quant": "", "dtype": "bf16",
-                       "group_size": None, "ppl": 33.0})
+                       "group_size": None, "kv_dtype": "auto", "ppl": 33.0})
     # dedup by config key: 2 rows, the mmlu one updated in place
     rows = [json.loads(l) for l in path.read_text().splitlines()]
     assert len(rows) == 2
     assert {r["test"]: r for r in rows}["mmlu"]["accuracy"] == 51.0
     er2 = ExperimentResults(path)
+    # a default probe (kv_dtype defaulting to "auto") matches a default row
     assert er2.exists("mmlu", True, "row", "int8", None)
     assert not er2.exists("mmlu", True, "tensor", "int8", None)
+    assert er2.exists("mmlu", True, "row", "int8", None, kv_dtype="auto")
+    assert not er2.exists("mmlu", True, "row", "int8", None, kv_dtype="int4")
 
 
 def test_experiments_matmul_cli(tmp_path, monkeypatch):

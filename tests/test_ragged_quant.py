@@ -35,12 +35,11 @@ def _make_rs_pool(kind, rng_key, outlier=True):
     rh = Hk if kind == "int4_rs" else 2 * Hk
     pages = stored.reshape(P, PS, rh, D)
     spool = scales.reshape(P, PS, -1)
-    # dequantized oracle pool in interleaved combined-head layout
+    # dequantized oracle pool (already in interleaved combined-head layout)
     unp = unpack_int4(stored) if kind == "int4_rs" else stored
     sc = np.asarray(take_kv_scales(scales, 2 * Hk)).astype(np.float32)
-    deq = np.asarray(unp).astype(np.float32) * sc[..., None]
-    deq = np.stack([deq[:, :Hk], deq[:, Hk:]], axis=2).reshape(
-        -1, 2 * Hk, D).reshape(P, PS, 2 * Hk, D)
+    deq = (np.asarray(unp).astype(np.float32) * sc[..., None]).reshape(
+        P, PS, 2 * Hk, D)
     return pages, spool, deq
 
 
@@ -192,17 +191,16 @@ def test_rowscale_quant_roundtrip_quality():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((256, 16, 128)).astype(np.float32)
     x *= np.exp(rng.uniform(-2.3, 2.3, (256, 16, 1))).astype(np.float32)
-    # quantize_kv reorders interleaved input heads K-first
-    xr = np.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
     stored, scales = quantize_kv(jnp.asarray(x), ("int4_rs", None))
     sc = np.asarray(take_kv_scales(scales, 16)).astype(np.float32)
     deq = np.asarray(unpack_int4(stored)).astype(np.float32) * sc[..., None]
-    rel = np.abs(deq - xr).max(-1) / np.abs(xr).max(-1)
-    assert rel.max() < 0.08  # 1/(2*7) rounding + scale error
+    rel = np.abs(deq - x).max(-1) / np.abs(x).max(-1)
+    # 1/(2*7) rounding x up to 2^(1/8) log-scale ceil = 0.078 worst case
+    assert rel.max() < 0.08
     stored8, scales8 = quantize_kv(jnp.asarray(x), ("int8_rs", None))
     sc8 = np.asarray(take_kv_scales(scales8, 16)).astype(np.float32)
     deq8 = np.asarray(stored8).astype(np.float32) * sc8[..., None]
-    rel8 = np.abs(deq8 - xr).max(-1) / np.abs(xr).max(-1)
+    rel8 = np.abs(deq8 - x).max(-1) / np.abs(x).max(-1)
     assert rel8.max() < 0.008
 
 def test_dense_int8_engine_flash_impl_cpu(d128_checkpoint):

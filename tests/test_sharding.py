@@ -53,6 +53,26 @@ def test_tp2_quantized_matches_tp1_quantized(tiny_checkpoint, prompts):
     assert tp_outs == ref_outs
 
 
+@pytest.mark.parametrize("kv_dtype", ["int4", "int8_rs"])
+def test_tp2_rowscale_kv_matches_tp1(tiny_checkpoint, prompts, kv_dtype):
+    """Row-scale KV × TP composition (round-5): the interleaved head-pair
+    pool layout shards on the kv-head axis with the log-scale sidecar
+    replicated, so the quantized serving formats compose with TP — closing
+    the same class of punt the reference makes for weights
+    (reference: nanovllm/utils/quantization.py:360)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    kw = dict(kv_cache_dtype=kv_dtype, **ENGINE_KW)
+    ref = LLM(tiny_checkpoint, **kw)
+    ref_outs = [o["token_ids"] for o in ref.generate(prompts, sp, use_tqdm=False)]
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    tp = LLM(tiny_checkpoint, mesh=mesh, **kw)
+    pages, scales = tp.model_runner.kv_pages
+    assert pages.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "model", None)
+    tp_outs = [o["token_ids"] for o in tp.generate(prompts, sp, use_tqdm=False)]
+    assert tp_outs == ref_outs
+
+
 def test_param_shardings_are_as_planned(tiny_config):
     """Every projection leaf lands with the planned spec on an 8-device mesh."""
     from nanovllm_tpu.models import qwen3

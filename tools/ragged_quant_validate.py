@@ -52,8 +52,7 @@ def dequant_interleaved(stored, scales, kind):
     sc = take_kv_scales(scales, 2 * Hk).astype(jnp.float32)
     deq = (unp.astype(jnp.float32) * sc[..., None]).astype(jnp.bfloat16)
     P = stored.shape[0] // PS
-    return jnp.stack([deq[:, :Hk], deq[:, Hk:]], axis=2).reshape(
-        -1, 2 * Hk, D).reshape(P, PS, 2 * Hk, D)
+    return deq.reshape(P, PS, 2 * Hk, D)
 
 
 def make_batch(q_lens, kv_lens, P, seed=1):
@@ -248,27 +247,31 @@ def prefill():
 
 
 def split():
-    """Attribute int4_rs decode time: full vs dma-only vs compute-only at
-    the serving shape with the shipped blocks (4, 8)."""
+    """Attribute rs decode time: full vs dma vs dma_data (no scale copies)
+    vs compute-only, at the serving shape. argv: [kind] [bkv] [bq]."""
     import functools as ft
+    kind = sys.argv[2] if len(sys.argv) > 2 else "int4_rs"
+    bkv = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    bq = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     B, ctx, P = 256, 1024, 4200
     rtt = _probe_rtt()
-    say(f"split[int4_rs]: B={B} ctx={ctx} blocks=(4,8) RTT={rtt*1e3:.1f} ms")
+    say(f"split[{kind}]: B={B} ctx={ctx} blocks=({bkv},{bq}) "
+        f"RTT={rtt*1e3:.1f} ms")
     q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
     q0 = np.asarray(q)
-    pool, spool, _, _ = make_rs_pool(P, "int4_rs")
-    for dbg in ("full", "dma", "compute"):
+    pool, spool, _, _ = make_rs_pool(P, kind)
+    for dbg in ("full", "dma", "dma_data", "compute"):
         @ft.partial(jax.jit, donate_argnums=(0,))
         def step(qq, pool, sp, dbg=dbg):
             return (ragged_quant_attention(
                 qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
-                kv_mode="int4_rs", num_kv_pages_per_block=4,
-                num_queries_per_block=8, debug=dbg) * 1e-3).astype(qq.dtype)
+                kv_mode=kind, num_kv_pages_per_block=bkv,
+                num_queries_per_block=bq, debug=dbg) * 1e-3).astype(qq.dtype)
         try:
             t = _timed(lambda qq: step(qq, pool, spool), q0, 20, rtt)
-            say(f"split[int4_rs]: {dbg}: {t*1e3:.3f} ms")
+            say(f"split[{kind}]: {dbg}: {t*1e3:.3f} ms")
         except Exception as e:  # noqa: BLE001
-            say(f"split[int4_rs]: {dbg}: FAIL {type(e).__name__}: "
+            say(f"split[{kind}]: {dbg}: FAIL {type(e).__name__}: "
                 f"{str(e).splitlines()[0][:90]}")
 
 
