@@ -230,10 +230,10 @@ class Config:
         if self.attention_impl == "auto":
             import jax
             self.attention_impl = "ragged" if jax.default_backend() == "tpu" else "xla"
-        if self.attention_impl not in ("ragged", "xla", "flash"):
+        if self.attention_impl not in ("ragged", "xla", "flash", "library"):
             raise ValueError(
                 f"attention_impl must be one of 'auto', 'ragged', 'xla', "
-                f"'flash'; got {self.attention_impl!r}")
+                f"'flash', 'library'; got {self.attention_impl!r}")
         if self.kv_cache_dtype in ("int8_rs", "int4"):
             # rs pools are served by the in-house quantized ragged kernel
             # (ops/pallas/ragged_quant.py), whose lane geometry assumes
@@ -258,12 +258,12 @@ class Config:
             # block optima differ by page dtype and kernel
             # (tools/attn_tune.py + tools/ragged_quant_validate.py sweeps):
             # library kernel on int8 pages wants (16, 8), bf16 (8, 16); the
-            # in-house quantized ragged kernel measured best at (4, 8) for
-            # int4 and (16, 16) for int8_rs at B=256/ctx=1k decode
+            # in-house quantized ragged kernel's round-5 interleaved-min
+            # sweep put (16, 4) best for int4 and int8_rs at B=256/ctx=1k
             if self.kv_cache_dtype == "int4":
-                self.attn_blocks_decode = (4, 8)
+                self.attn_blocks_decode = (16, 4)
             elif self.kv_cache_dtype == "int8_rs":
-                self.attn_blocks_decode = (16, 16)
+                self.attn_blocks_decode = (16, 4)
             elif self.kv_cache_dtype in ("int8", "fp8"):
                 self.attn_blocks_decode = (16, 8)
             else:

@@ -412,15 +412,27 @@ class ModelRunner:
             n_prefill = len(seqs)
 
         if is_prefill:
-            q_lens = np.array(
+            q_lens_real = np.array(
                 [len(s) - s.num_cached_tokens if i < n_prefill else 1
                  for i, s in enumerate(seqs)], np.int64)
+            # Pad each seq's stream segment to a multiple of 8 so segment
+            # starts are 8-aligned: the int8 KV-scale sidecar's page-run
+            # copies slice the stream at segment offsets, and Mosaic
+            # requires dynamic offsets on an int8 token dim to be divisible
+            # by its (8,128) tile (ops.attention.encode_kv_scales). Pad
+            # rows compute garbage that every consumer discards: attention
+            # masks them per-seq, stores only cover the real rows (plus the
+            # pre-existing within-page over-read), sampling reads the real
+            # last token, and decode overwrites their KV slots in order.
+            q_lens = (q_lens_real + 7) // 8 * 8
             # full-page store copies over-read the stream by up to a page
             T = (int(q_lens.sum()) + ps if cfg.enforce_eager
                  else _next_bucket(cfg.prefill_token_buckets, int(q_lens.sum()) + ps))
         else:
-            # compat path (sync single-token decode, used by run())
-            q_lens = np.ones(len(seqs), np.int64)
+            # compat path (sync single-token decode, used by run());
+            # single-row stores go through the aligned-window merge path,
+            # so no segment padding is needed
+            q_lens_real = q_lens = np.ones(len(seqs), np.int64)
             T = (len(seqs) if cfg.enforce_eager
                  else _next_bucket(cfg.decode_bs_buckets, len(seqs)))
         if is_prefill and not cfg.enforce_eager and T > cfg.prefill_token_buckets[-1]:
@@ -439,19 +451,24 @@ class ModelRunner:
         kv_lens = v["kv_lens"]
         kv_lens[:n] = [len(s) if i < n_prefill else s.num_sched_tokens
                        for i, s in enumerate(seqs)]
-        cached_lens = kv_lens[:n].astype(np.int64) - q_lens
+        cached_lens = kv_lens[:n].astype(np.int64) - q_lens_real
+        # the meta's kv_lens carry the PADDED totals (cached + padded qlen)
+        # so the kernels' kv_len - q_len == cached invariant holds; real
+        # rows still attend exactly their own prefix (pad rows sit past
+        # every real row's causal horizon)
+        kv_lens[:n] = cached_lens + q_lens
         # vectorized ragged position/segment fill: positions of seq i run
-        # cached_i .. kv_i-1 at stream offset starts[i]
+        # cached_i .. (padded) kv_i-1 at stream offset starts[i]
         v["q_segment_ids"][:qo] = np.repeat(np.arange(n, dtype=np.int32), q_lens)
         v["positions"][:qo] = (np.arange(qo, dtype=np.int64)
                                + np.repeat(cached_lens - starts[:-1], q_lens))
-        v["last_token_idx"][:n] = starts[1:] - 1
+        v["last_token_idx"][:n] = starts[:-1] + q_lens_real - 1
         input_ids, page_indices = v["input_ids"], v["page_indices"]
         slot_ids, top_ks = v["slot_ids"], v["top_ks"]
         temps, top_ps = fv["temperatures"], fv["top_ps"]
         for i, seq in enumerate(seqs):
             if i < n_prefill:
-                input_ids[starts[i]:starts[i + 1]] = \
+                input_ids[starts[i]:starts[i] + int(q_lens_real[i])] = \
                     seq.token_ids[int(cached_lens[i]):]
             else:
                 # mixed-batch decode lane: placeholder 0; the jitted step
@@ -466,7 +483,9 @@ class ModelRunner:
         v["cu_q_lens"][n + 1:] = qo
         v["num_seqs"][0] = n
 
-        store = build_store_tables(starts[:-1], q_lens, cached_lens, page_indices,
+        # tables cover the REAL rows only (pad rows are never stored beyond
+        # the page runs' pre-existing within-page over-read)
+        store = build_store_tables(starts[:-1], q_lens_real, cached_lens, page_indices,
                                    ps, layout.NP, layout.NS)
         v["store_page_src"][:] = store[0]
         v["store_page_dst"][:] = store[1]

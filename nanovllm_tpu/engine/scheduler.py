@@ -128,7 +128,11 @@ class Scheduler:
         num_batched_tokens = 0
         while self.waiting and num_seqs < self.max_num_seqs and self.free_slots:
             seq = self.waiting[0]
-            new_tokens = len(seq) - seq.num_cached_tokens
+            # budget the PADDED stream cost: batch prep 8-aligns every
+            # seq's stream segment (model_runner.prepare), so packing by
+            # real tokens could spill the padded sum past the largest
+            # warmed bucket into a runtime-compiled double-size executable
+            new_tokens = -(-(len(seq) - seq.num_cached_tokens) // 8) * 8
             # the soft cap only applies once the batch is non-empty: a lone
             # prompt of exactly max_num_batched_tokens tokens must still be
             # schedulable (it pays the one-off double-bucket spill instead
@@ -145,7 +149,10 @@ class Scheduler:
             num_seqs += 1
             self._commit(seq)
             self.block_manager.allocate(seq)
-            num_batched_tokens += len(seq) - seq.num_cached_tokens
+            # recount after allocate: prefix-cache hits just shrank the
+            # uncached suffix (same padded accounting as the admission check)
+            num_batched_tokens += \
+                -(-(len(seq) - seq.num_cached_tokens) // 8) * 8
             seq.status = SequenceStatus.RUNNING
             seq.slot = self.free_slots.popleft()
             self.waiting.popleft()

@@ -124,7 +124,14 @@ def kv_scale_width(num_combined_heads: int) -> int:
 def encode_kv_scales(scales):
     """f32 scales [..., 2Hk] → (e int8 [..., 128] lane-padded, decoded f32
     scales [..., 2Hk]). The DECODED value (2^(e/8) >= scales) must be used
-    for quantizing the data so store and kernel agree exactly."""
+    for quantizing the data so store and kernel agree exactly.
+
+    The int8 row is the densest Mosaic-sliceable token row (128 B vs the
+    round-4 f32 row's 512 B); its (8,128)(4,1) tiling forbids UNALIGNED
+    dynamic offsets on the token dim, which the store side satisfies by
+    8-aligning prefill stream segments (ModelRunner.prepare pads per-seq
+    q-lens) and doing single-row writes as read-merge-write on 8-row
+    windows (ops/pallas/kv_store.py)."""
     e = jnp.clip(jnp.ceil(jnp.log2(scales) * (1.0 / KV_SCALE_STEP)),
                  -_KV_SCALE_EMAX, _KV_SCALE_EMAX)
     decoded = jnp.exp2(e * KV_SCALE_STEP)
@@ -203,15 +210,35 @@ def store_kv(kv_pages, kv_new, meta: AttnMeta, layer_idx, *, page_size: int,
     [P, ps, 128]) and kv_new = (rows, e-rows int8 [T, 128], see
     encode_kv_scales); the same store kernels move both (they are
     layout-generic over the trailing dims and dtypes)."""
-    from nanovllm_tpu.ops.pallas.kv_store import kv_store, kv_store_rows
+    from nanovllm_tpu.ops.pallas.kv_store import (kv_store, kv_store_rows,
+                                                  kv_store_rows_merge)
     off = layer_idx * pages_per_layer
     if isinstance(kv_pages, tuple):
         pages, spool = kv_pages
         rows, srows = kv_new
         pages = store_kv(pages, rows, meta, layer_idx, page_size=page_size,
                          pages_per_layer=pages_per_layer, interpret=interpret)
-        spool = store_kv(spool, srows, meta, layer_idx, page_size=page_size,
-                         pages_per_layer=pages_per_layer, interpret=interpret)
+        # The int8 scale sidecar's token dim is the second-minor, which
+        # Mosaic only slices at 8-aligned offsets: page runs are aligned
+        # (prepare pads per-seq segments to 8), single rows go through the
+        # aligned-window merge kernel.
+        if meta.store_page_src.shape[0] == 1:
+            spool = kv_store_rows_merge(
+                spool, srows, meta.store_row_src,
+                meta.store_row_dst_page + off, meta.store_row_dst_pos,
+                interpret=interpret)
+        else:
+            spool = kv_store(
+                spool, srows,
+                meta.store_page_src, meta.store_page_dst + off,
+                meta.store_row_src, meta.store_row_dst_page + off,
+                meta.store_row_dst_pos,
+                meta.store_counts * jnp.array([1, 0], jnp.int32),
+                page_size=page_size, interpret=interpret, with_rows=False)
+            spool = kv_store_rows_merge(
+                spool, srows, meta.store_row_src,
+                meta.store_row_dst_page + off, meta.store_row_dst_pos,
+                n_rows=meta.store_counts[1], interpret=interpret)
         return pages, spool
     if meta.store_page_src.shape[0] == 1:
         return kv_store_rows(
@@ -249,27 +276,32 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     is_decode = meta.store_page_src.shape[0] == 1  # decode-scan meta shape
     kv_scale = (kv_quant[1] if kv_quant is not None
                 and kind not in ("int8_rs", "int4_rs") else None)
-    # dense-int8 "flash" routing is geometry-gated (the kernel's lane math
-    # assumes head_dim 128); rs pools are config-gated to 128 already
-    in_house = kv_scales is not None or (impl == "flash" and kind == "int8"
-                                         and q.shape[-1] == 128)
+    # The in-house kernel serves EVERY pool — bf16, fp8, int8, int8_rs,
+    # int4 — completing SURVEY §2.9's "the build writes the kernel itself"
+    # for both reference flash-attn entry points (reference:
+    # nanovllm/layers/attention.py:67-74). Geometry gate: its lane math is
+    # tuned for head_dim 128 (every supported model family's value);
+    # impl="library" keeps the jax.experimental ragged kernel reachable for
+    # A/B and as the fallback for exotic head dims.
+    kv_mode = {None: "bf16", "fp8": "fp8", "int8": "int8",
+               "int8_rs": "int8_rs", "int4_rs": "int4_rs"}[kind]
+    in_house = impl in ("ragged", "flash") and q.shape[-1] == 128 and (
+        kv_scales is not None or kv_pages.dtype != jnp.float32)
+    if kv_scales is not None and impl != "xla":
+        in_house = True  # rs pools have no other non-oracle reader
     if in_house and impl != "xla":
-        # in-house quantized ragged kernel: the only reader of row-scale
-        # pools (per-(row, head) sidecar, int4 nibble packing — no scratch
-        # dequant), and the opt-in path for dense int8
         from nanovllm_tpu.ops.pallas.ragged_quant import ragged_quant_attention
         bkv, bq = blocks if blocks is not None else (16, 8 if is_decode
                                                      else 256)
         return ragged_quant_attention(
             q, kv_pages, meta.kv_lens, page_indices, meta.cu_q_lens,
-            meta.num_seqs, kv_scales, sm_scale=scale,
-            kv_mode=kind if kv_scales is not None else "int8",
+            meta.num_seqs, kv_scales, sm_scale=scale, kv_mode=kv_mode,
             kv_scale=None if kv_scales is not None else kv_scale,
             num_kv_pages_per_block=bkv, num_queries_per_block=bq,
             interpret=interpret)
-    # library ragged kernel for dense pools; prefill must NEVER fall
-    # through to the O(T*B*W*ps)-memory XLA oracle on TPU.
-    if impl in ("ragged", "flash"):
+    # library ragged kernel (escape hatch / exotic head dims); prefill must
+    # NEVER fall through to the O(T*B*W*ps)-memory XLA oracle on TPU.
+    if impl in ("ragged", "flash", "library"):
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention)
         bkv, bq = blocks if blocks is not None else (None, None)

@@ -46,10 +46,11 @@ def _kernel(
     pages_in,       # [num_pages, ps, 2Hk, D] (aliased to output)
     pages_out,
     # scratch
-    dummy_s,        # VMEM [1, 2Hk, D]
+    dummy_s,        # VMEM [8, 2Hk, D]
     sems,           # DMA sems [NSEM]
     *,
     page_size: int,
+    with_rows: bool = True,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -58,17 +59,28 @@ def _kernel(
 
     def item_dma(j):
         """(page_dma, row_dma, dummy_dma) descriptors for item j; exactly one
-        is started/waited depending on j's class."""
+        is started/waited depending on j's class. ``with_rows=False`` builds
+        no row descriptors at all — pools whose token dim is the second-minor
+        (the int8 scale sidecar) cannot even express an unaligned row slice,
+        so their single-row writes go through kv_store_rows_merge instead."""
         sem = sems.at[j % NSEM]
         jp = jnp.clip(j, 0, page_src_ref.shape[0] - 1)
         jr = jnp.clip(j - n_pages, 0, row_src_ref.shape[0] - 1)
+        # stream segments are 8-aligned (ModelRunner.prepare pads per-seq
+        # q-lens); the hint lets Mosaic slice int8 streams whose token dim
+        # is the second-minor (the scale sidecar)
         page = pltpu.make_async_copy(
-            kv_new_hbm.at[pl.ds(page_src_ref[jp], page_size)],
+            kv_new_hbm.at[pl.ds(pl.multiple_of(page_src_ref[jp], 8),
+                                page_size)],
             pages_out.at[page_dst_ref[jp]], sem)
+        # width 8: int8 streams with a second-minor token dim (the scale
+        # sidecar) tile (8, 128) and reject narrower slices
+        dummy = pltpu.make_async_copy(kv_new_hbm.at[pl.ds(0, 8)], dummy_s, sem)
+        if not with_rows:
+            return page, dummy, dummy
         row = pltpu.make_async_copy(
             kv_new_hbm.at[row_src_ref[jr]],
             pages_out.at[row_dst_page_ref[jr], row_dst_pos_ref[jr]], sem)
-        dummy = pltpu.make_async_copy(kv_new_hbm.at[pl.ds(0, 1)], dummy_s, sem)
         return page, row, dummy
 
     def start_item(j):
@@ -111,7 +123,8 @@ def _kernel(
                 wait_item(j)
 
 
-@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret",
+                                             "with_rows"))
 def kv_store(
     kv_pages,        # [num_pages, ps, 2Hk, D]
     kv_new,          # [Tpad, 2Hk, D] — rows [t] = interleaved k/v heads
@@ -124,6 +137,7 @@ def kv_store(
     *,
     page_size: int,
     interpret: bool = False,
+    with_rows: bool = True,
 ):
     if kv_new.shape[0] < page_size:
         # page-item DMA descriptors are constructed (though never started)
@@ -141,12 +155,12 @@ def kv_store(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1,) + kv_new.shape[1:], kv_new.dtype),
+            pltpu.VMEM((8,) + kv_new.shape[1:], kv_new.dtype),
             pltpu.SemaphoreType.DMA((NSEM,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, page_size=page_size),
+        functools.partial(_kernel, page_size=page_size, with_rows=with_rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
         input_output_aliases={7: 0},
@@ -155,6 +169,123 @@ def kv_store(
         interpret=interpret,
     )(page_src, page_dst, row_src, row_dst_page, row_dst_pos, counts,
       kv_new, kv_pages)
+
+
+# ----------------------------------------------------------- row-merge variant
+def _merge_kernel(n_rows_ref, row_src_ref, row_dst_page_ref, row_dst_pos_ref,
+                  rows_hbm, pool_in, pool_out, win_pool, win_src, win_out,
+                  sems_in, sems_out, *, n_static: int):
+    """Single-row writes into a pool whose TOKEN dim is the second-minor
+    (the int8 KV-scale sidecar [P, ps, 128]): Mosaic forbids unaligned
+    dynamic offsets there, so each row lands via read-merge-write on an
+    8-row-aligned window, pipelined over an R-deep ring."""
+    R = win_pool.shape[0]
+
+    def win_of(pos):
+        return pl.multiple_of(pos // 8 * 8, 8)
+
+    def in_dmas(j):
+        slot = j % R
+        dst = pltpu.make_async_copy(
+            pool_out.at[row_dst_page_ref[j], pl.ds(win_of(row_dst_pos_ref[j]), 8)],
+            win_pool.at[slot], sems_in.at[slot, 0])
+        src = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(win_of(row_src_ref[j]), 8)],
+            win_src.at[slot], sems_in.at[slot, 1])
+        return dst, src
+
+    def out_dma(j):
+        slot = j % R
+        return pltpu.make_async_copy(
+            win_out.at[slot],
+            pool_out.at[row_dst_page_ref[j], pl.ds(win_of(row_dst_pos_ref[j]), 8)],
+            sems_out.at[slot])
+
+    n_rows = n_rows_ref[0]
+    LAG = 2  # in-flight read windows ahead of the merge stage (< R)
+
+    def process(j):
+        # slot j%R's previous out must land before we overwrite win_out
+        if j >= R:
+            @pl.when(j - R < n_rows)
+            def _():
+                out_dma(j - R).wait()
+
+        @pl.when(j < n_rows)
+        def _():
+            a, b = in_dmas(j)
+            a.wait()
+            b.wait()
+            slot = j % R
+            # pick stream row (src % 8), place it at pool row (pos % 8)
+            sub = jax.lax.broadcasted_iota(jnp.int32, win_src.shape[1:], 0)
+            srow = jnp.sum(jnp.where(sub == row_src_ref[j] % 8,
+                                     win_src[slot].astype(jnp.float32), 0.0),
+                           axis=0, keepdims=True)
+            win_out[slot] = jnp.where(
+                sub == row_dst_pos_ref[j] % 8,
+                jnp.broadcast_to(srow, win_pool.shape[1:]),
+                win_pool[slot].astype(jnp.float32)).astype(pool_out.dtype)
+            out_dma(j).start()
+
+    for t in range(n_static + LAG):
+        if t < n_static:
+            @pl.when(t < n_rows)
+            def _():
+                a, b = in_dmas(t)
+                a.start()
+                b.start()
+        if t - LAG >= 0:
+            process(t - LAG)
+    for j in range(max(0, n_static - R), n_static):
+        @pl.when(j < n_rows)
+        def _():
+            out_dma(j).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_store_rows_merge(pool, rows, row_src, row_dst_page, row_dst_pos,
+                        n_rows=None, *, interpret: bool = False):
+    """Write row ``row_src[j]`` of ``rows`` to ``pool[row_dst_page[j],
+    row_dst_pos[j]]`` for j < n_rows (default: all), via aligned-window
+    read-merge-write. Items must target distinct pages (the engine's store
+    tables guarantee it: one row per sequence, pages never shared while
+    partially filled); masked-out items may share the garbage page, where
+    lost updates are harmless."""
+    B = row_src.shape[0]
+    if n_rows is None:
+        n_rows = jnp.full((1,), B, jnp.int32)
+    else:
+        n_rows = jnp.asarray(n_rows, jnp.int32).reshape(1)
+    if rows.shape[0] < 8:
+        rows = jnp.pad(rows, ((0, 8 - rows.shape[0]), (0, 0)))
+    R = 4
+    L = pool.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((R, 8, L), pool.dtype),
+            pltpu.VMEM((R, 8, L), rows.dtype),
+            pltpu.VMEM((R, 8, L), pool.dtype),
+            pltpu.SemaphoreType.DMA((R, 2)),
+            pltpu.SemaphoreType.DMA((R,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_merge_kernel, n_static=B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True),
+        interpret=interpret,
+    )(n_rows, row_src, row_dst_page, row_dst_pos, rows, pool)
 
 
 # ---------------------------------------------------------------- row variant

@@ -68,25 +68,41 @@ class _PageCopies:
 
     def __init__(self, pages_hbm, scales_hbm, kv_buf, sc_buf, sem,
                  page_indices_ref, seq_id, start_page, end_page):
+        # Copies past the sequence's last page are SKIPPED, not clamped:
+        # round 5 measured the old clamp-to-page-0 behavior re-copying page
+        # 0 once per out-of-range slot — at bkv=16 with ~9-page contexts
+        # that nearly doubled decode DMA traffic (the whole int4-vs-int8
+        # end-to-end gap of the first r5 bench). start() and wait() gate on
+        # the same predicate, so semaphore counts stay balanced.
         self._copies = []
         for i in range(kv_buf.shape[0]):
             page_idx = start_page + i
-            page_idx = lax.select(page_idx < end_page, page_idx, 0)
-            pid = page_indices_ref[seq_id, page_idx]
+            valid = page_idx < end_page
+            pid = page_indices_ref[seq_id, lax.select(valid, page_idx, 0)]
             self._copies.append(
-                pltpu.make_async_copy(pages_hbm.at[pid], kv_buf.at[i], sem))
+                (valid,
+                 pltpu.make_async_copy(pages_hbm.at[pid], kv_buf.at[i], sem)))
             if scales_hbm is not None:
+                # NOTE: priority=1 (background queue) was tried for these
+                # small sidecar copies and measured-REJECTED: they starve
+                # behind the busy data-copy queue and stall every block's
+                # wait (int8_rs decode 0.88x -> 1.5-4x library)
                 self._copies.append(
-                    pltpu.make_async_copy(scales_hbm.at[pid], sc_buf.at[i],
-                                          sem))
+                    (valid,
+                     pltpu.make_async_copy(scales_hbm.at[pid], sc_buf.at[i],
+                                           sem)))
 
     def start(self):
-        for c in self._copies:
-            c.start()
+        for valid, c in self._copies:
+            @pl.when(valid)
+            def _():
+                c.start()
 
     def wait(self):
-        for c in self._copies:
-            c.wait()
+        for valid, c in self._copies:
+            @pl.when(valid)
+            def _():
+                c.wait()
 
 
 def _plane_loader(kv_ref, *, mode, num_kv_heads, interpret):
@@ -113,14 +129,51 @@ def _plane_loader(kv_ref, *, mode, num_kv_heads, interpret):
         return pltpu.bitcast(b.astype(jnp.uint8), jnp.int8)
 
     def get(h):
+        """int4 planes return BIASED nibbles (k+8, v+8 in [1, 15]); the
+        callers fold the -8 into downstream f32/bf16 math (packed int8
+        subtract does not legalize in Mosaic). int8 planes are unbiased."""
+        if mode == "bf16":
+            if interpret:
+                return kv_ref[2 * h::2 * Hk, :], kv_ref[2 * h + 1::2 * Hk, :]
+            # 2 bf16 rows per uint32 word: K_h (combined row 2h) is the low
+            # half, V_h (2h+1) the high half of word plane h — one strided
+            # load serves the whole head pair
+            if h not in cache:
+                cache[h] = kv_ref.bitcast(jnp.uint32)[h::Hk, :]
+            w = cache[h]
+            k = pltpu.bitcast(w.astype(jnp.uint16), jnp.bfloat16)
+            v = pltpu.bitcast((w >> jnp.uint32(16)).astype(jnp.uint16),
+                              jnp.bfloat16)
+            return k, v
+        if mode == "fp8":
+            k_row, v_row = 2 * h, 2 * h + 1
+            if interpret:
+                return (kv_ref[k_row::2 * Hk, :].astype(jnp.bfloat16),
+                        kv_ref[v_row::2 * Hk, :].astype(jnp.bfloat16))
+            def f8(row):
+                b = packed(row) >> jnp.uint32(8 * (row % 4))
+                return pltpu.bitcast(b.astype(jnp.uint8),
+                                     jnp.float8_e4m3fn).astype(jnp.bfloat16)
+            return f8(k_row), f8(v_row)
         if mode == "int4_rs":
             if interpret:
                 plane = kv_ref[h::Hk, :].astype(jnp.int32)
-            else:
-                plane = byte_plane(h).astype(jnp.int32)
-            v32 = (plane + 8) >> 4                 # V nibble
-            k32 = plane - (v32 << 4)               # K nibble
-            return k32.astype(jnp.int8), v32.astype(jnp.int8)
+                v32 = (plane + 8) >> 4             # V nibble
+                k32 = plane - (v32 << 4)           # K nibble
+                return ((k32 + 8).astype(jnp.int8),
+                        (v32 + 8).astype(jnp.int8))
+            # SWAR nibble split in the PACKED domain: per byte
+            # t = (b ^ 0x80) + 8 = 16*(v+8) + (k+8) with no cross-byte
+            # carries (t <= 255), so both nibbles come out of 5 packed-
+            # width ops — the round-4 path unpacked to int32 first, which
+            # cost ~4x the vector registers per element
+            b = byte_plane(h)                      # int8 [Tkv, D] packed
+            w = pltpu.bitcast(b, jnp.uint32)       # [Tkv/4, D] (free)
+            t = (w ^ jnp.uint32(0x80808080)) + jnp.uint32(0x08080808)
+            k8 = pltpu.bitcast(t & jnp.uint32(0x0F0F0F0F), jnp.int8)
+            v8 = pltpu.bitcast((t >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F),
+                               jnp.int8)
+            return k8, v8
         # int8 rows: hdim = 2Hk, interleaved: K_h at 2h, V_h at 2h + 1
         # (int8_rs and dense share the layout since round 5)
         k_row, v_row = 2 * h, 2 * h + 1
@@ -183,7 +236,8 @@ def _kernel(
         end = jnp.minimum(pages_per_seq,
                           pl.cdiv(kv_lens_ref[seq_idx], page_size))
         return _PageCopies(
-            pages_hbm, None if debug == "dma_data" else scales_hbm,
+            pages_hbm,
+            None if debug in ("dma_data", "fullnosc") else scales_hbm,
             kv_bufs.at[buf_idx],
             None if sc_bufs is None else sc_bufs.at[buf_idx],
             sems.at[buf_idx], page_indices_ref, seq_idx, start, end)
@@ -193,12 +247,18 @@ def _kernel(
         def _prefetch_first():
             make_copies(init_seq_idx, 0, init_buf_idx).start()
 
-    # ---- once per grid step: head-major row-quantized q ------------------
+    float_mode = mode in ("bf16", "fp8")
+    # ---- once per grid step: head-major (row-quantized) q ----------------
     qt = lax.transpose(q_ref[...], (1, 0, 2)).astype(jnp.float32)  # [Hq,bq,D]
     qt = qt * (sm_scale if kv_scale is None else sm_scale * kv_scale)
-    qmax = jnp.maximum(jnp.max(jnp.abs(qt), axis=2, keepdims=True), 1e-8)
-    qi8_ref[...] = jnp.round(qt * (127.0 / qmax)).astype(jnp.int8)
-    qsc_ref[...] = jnp.broadcast_to(qmax * (1.0 / 127.0), qsc_ref.shape)
+    if float_mode:
+        # bf16 pipeline: q stays bf16 (sm_scale and the fp8 k-side global
+        # scale folded in); no dynamic row quantization
+        qi8_ref[...] = qt.astype(jnp.bfloat16)
+    else:
+        qmax = jnp.maximum(jnp.max(jnp.abs(qt), axis=2, keepdims=True), 1e-8)
+        qi8_ref[...] = jnp.round(qt * (127.0 / qmax)).astype(jnp.int8)
+        qsc_ref[...] = jnp.broadcast_to(qmax * (1.0 / 127.0), qsc_ref.shape)
     # constant mask geometry, shared by every (seq, kv-block, head):
     # row r of a per-head [M, Tkv] tile is token (r % bq)
     tok_minus_col = (lax.broadcasted_iota(jnp.int32, (M, kv_per_blk), 0) % bq
@@ -245,7 +305,8 @@ def _kernel(
             pltpu.store(ref, val, mask=jnp.logical_and(
                 tok >= store_start, tok < store_end))
 
-        def head_attention(h, k, v, sck, scv, mask_add, kv_blk_idx):
+        def head_attention(h, k, v, sck, scv, mask_cond, vcol_valid,
+                           kv_blk_idx):
             """One head's masked online-softmax block update (library-style
             renormalize-every-block accumulation, masked to this sequence's
             token rows). k/v [Tkv, D] int8; sck/scv [1, Tkv] or None."""
@@ -257,20 +318,56 @@ def _kernel(
                 return jnp.where(kv_blk_idx == 0,
                                  jnp.full_like(ref, init_val), ref[...])
 
-            q_i8 = qi8_ref[pl.ds(h * G, G)].reshape(M, D)   # (g, token) rows
-            qsc = qsc_ref[pl.ds(h * G, G)].reshape(M, 128)[:, :1]
-            s = lax.dot_general(q_i8, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-            s = s.astype(jnp.float32) * qsc
+            q_rows = qi8_ref[pl.ds(h * G, G)].reshape(M, D)  # (g, token) rows
+            if debug == "noextract":
+                k = jnp.zeros((kv_per_blk, D), k.dtype)
+                v = jnp.zeros((kv_per_blk, D), v.dtype)
+            if float_mode:
+                # bf16 x bf16 MXU with f32 accumulation; scales are global
+                # and already folded into q
+                s = lax.dot_general(q_rows, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            else:
+                qsc = qsc_ref[pl.ds(h * G, G)].reshape(M, 128)[:, :1]
+                s = lax.dot_general(q_rows, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                s = s.astype(jnp.float32)
+                if mode == "int4_rs":
+                    # k is biased (k+8): q.k = q.(k+8) - 8*rowsum(q)
+                    qsum = jnp.sum(q_rows.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+                    s = s - 8.0 * qsum
+                s = s * qsc
             if sck is not None:
                 s = s * sck
-            s += mask_add
+            # REPLACE (not add) masked scores: skipped out-of-range page
+            # copies leave stale VMEM, which for float pools can be NaN —
+            # an additive mask would propagate it
+            s = jnp.where(mask_cond, mask_value, s)
+            if debug == "nosoftmax":
+                pv = lax.dot_general(
+                    s.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                masked_store_acc(head_acc, pv.reshape(head_acc.shape))
+                return
             m_curr = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m_curr)
             # softmax denominator uses the raw exp weights; V row scales
             # affect only the numerator (they dequantize V)
             l_sum = p.sum(axis=1, keepdims=True)
-            if scv is None:
+            if float_mode:
+                # zero V rows past kv_len: they were never DMA'd (skipped
+                # copies) and stale bf16 NaN would poison the contraction
+                # even against p == 0
+                v = jnp.where(vcol_valid, v, jnp.zeros_like(v))
+                pv = lax.dot_general(p.astype(jnp.bfloat16), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                if kv_scale is not None:
+                    # fp8 global scale, V side (K side rode in with q)
+                    pv = pv * kv_scale
+            elif scv is None:
                 # dense: int8 MXU PV. p rows are plain softmax weights with
                 # max exactly 1, so per-row absmax quant loses < 1/254 of
                 # the weight mass
@@ -288,6 +385,8 @@ def _kernel(
                 # passes cost more than the halved MXU tiles save — and
                 # adds quant noise proportional to the in-block V-scale
                 # spread. tools/ragged_quant_validate.py pv8.
+                if mode == "int4_rs":
+                    v = (v.astype(jnp.int32) - 8).astype(jnp.int8)
                 p_s = p * scv
                 pmax = jnp.maximum(jnp.max(p_s, axis=1, keepdims=True),
                                    1e-30)
@@ -303,8 +402,11 @@ def _kernel(
                 # the PV matmul runs at the bf16 tile rate, still under the
                 # int4 HBM floor (scores stay int8).
                 p_s = p * scv
+                v_mm = v.astype(jnp.bfloat16)
+                if mode == "int4_rs":
+                    v_mm = v_mm - jnp.bfloat16(8.0)  # v is biased (v+8)
                 pv = lax.dot_general(
-                    p_s.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                    p_s.astype(jnp.bfloat16), v_mm,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
@@ -370,12 +472,19 @@ def _kernel(
             # coordinates — rearranged onto the constant tok-col iota
             thresh = kv_blk_idx * kv_per_blk - (kv_len - q_len) \
                 - q_len_start + q_start
-            mask_add = jnp.where(tok_minus_col < thresh, mask_value, 0.0)
+            mask_cond = tok_minus_col < thresh
+            vcol_valid = (lax.broadcasted_iota(jnp.int32, (kv_per_blk, 1), 0)
+                          < kv_len - kv_blk_idx * kv_per_blk)
             if with_scales:
                 e = sc_bufs[cur_buf].reshape(
                     kv_per_blk, -1)[:, :2 * Hk]          # [Tkv, 2Hk] int8
-                sc_t = lax.transpose(e.astype(jnp.float32), (1, 0))
-                sc_t = jnp.exp2(sc_t * KV_SCALE_STEP)    # [2Hk, Tkv]
+                if debug == "noexp2":
+                    sc_t = lax.transpose(e.astype(jnp.float32), (1, 0))
+                elif debug == "noscale":
+                    sc_t = jnp.full((2 * Hk, kv_per_blk), 1.0, jnp.float32)
+                else:
+                    sc_t = lax.transpose(e.astype(jnp.float32), (1, 0))
+                    sc_t = jnp.exp2(sc_t * KV_SCALE_STEP)  # [2Hk, Tkv]
                 # zero scales past kv_len unconditionally: those rows were
                 # never DMA'd this block; stale VMEM bits decode to finite
                 # (but arbitrary) scales that would leak through the
@@ -389,7 +498,7 @@ def _kernel(
                     h, k_h, v_h,
                     sc_t[2 * h:2 * h + 1, :] if with_scales else None,
                     sc_t[2 * h + 1:2 * h + 2, :] if with_scales else None,
-                    mask_add, kv_blk_idx)
+                    mask_cond, vcol_valid, kv_blk_idx)
             return kv_blk_idx + 1, nbuf
 
         _, next_buf = lax.while_loop(kv_blk_valid, compute_kv_blk,
@@ -442,8 +551,10 @@ def ragged_quant_attention(
     T, Hq, D = q.shape
     P, page_size, hdim, Dp = kv_pages.shape
     assert Dp == D, (Dp, D)
-    assert kv_mode in ("int4_rs", "int8_rs", "int8"), kv_mode
-    assert kv_pages.dtype == jnp.int8, kv_pages.dtype
+    assert kv_mode in ("int4_rs", "int8_rs", "int8", "bf16", "fp8"), kv_mode
+    page_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}.get(
+        kv_mode, jnp.int8)
+    assert kv_pages.dtype == page_dtype, (kv_pages.dtype, kv_mode)
     Hk = hdim if kv_mode == "int4_rs" else hdim // 2
     G = Hq // Hk
     assert Hq % Hk == 0
@@ -456,24 +567,27 @@ def ragged_quant_attention(
     else:
         assert kv_scales is None
     if not interpret:
-        # the bitcast head-plane extraction packs 4 int8 rows per uint32
-        assert hdim % 4 == 0, hdim
+        # the bitcast head-plane extraction packs 4 byte rows (2 bf16 rows)
+        # per uint32
+        assert hdim % (2 if kv_mode == "bf16" else 4) == 0, (kv_mode, hdim)
 
     bq = min(num_queries_per_block, T)
     bkv = min(num_kv_pages_per_block, page_indices.shape[1])
     num_q_blks = pl.cdiv(T, bq)
 
+    float_mode = kv_mode in ("bf16", "fp8")
     q_spec = pl.BlockSpec((bq, Hq, D), lambda i, *_: (i, 0, 0))
     in_specs = [q_spec, pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [
-        pltpu.VMEM((2, bkv, page_size, hdim, D), jnp.int8),
+        pltpu.VMEM((2, bkv, page_size, hdim, D), page_dtype),
         None,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((Hk, G * bq, 128), jnp.float32),   # l
         pltpu.VMEM((Hk, G * bq, 128), jnp.float32),   # m
         pltpu.VMEM((Hq, bq, D), jnp.float32),         # acc (head-major)
-        pltpu.VMEM((Hq, bq, D), jnp.int8),            # row-quantized q
-        pltpu.VMEM((Hq, bq, 128), jnp.float32),       # q row scales
+        # q, head-major: row-quantized int8 + scales, or plain bf16
+        pltpu.VMEM((Hq, bq, D), jnp.bfloat16 if float_mode else jnp.int8),
+        pltpu.VMEM((Hq, bq, 128), jnp.float32),       # q row scales (int)
     ]
     operands = [kv_lens, page_indices, cu_q_lens,
                 jnp.array((0, 0), jnp.int32), num_seqs, q, kv_pages]

@@ -170,7 +170,9 @@ def test_enforce_eager_exact_shapes(tiny_checkpoint, engine, rng):
     seqs = [Sequence(list(range(100, 105)), sp, block_size=8)]
     seqs[0].slot = 0
     _, _, T = eager.model_runner.prepare(seqs, True)
-    assert T == 5 + 8  # q_lens + page (no bucket round-up)
+    # q_lens 8-aligned (scale-sidecar stream alignment) + page, no bucket
+    # round-up
+    assert T == 8 + 8
     seqs[0].num_sched_tokens = 5
     _, _, B = eager.model_runner.prepare_decode(seqs, [1])
     assert B == 1

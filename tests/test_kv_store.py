@@ -82,3 +82,33 @@ def test_many_items_exercise_sem_ring():
         pos = int(cached[i])
         page = block_tables[i, pos // PS]
         np.testing.assert_array_equal(out[page, pos % PS], kv_new[i])
+
+
+def test_rows_merge_aligned_window():
+    """kv_store_rows_merge: single-row writes into a pool whose token dim is
+    the second-minor (the int8 scale sidecar) via 8-row read-merge-write."""
+    import jax.numpy as jnp
+    from nanovllm_tpu.ops.pallas.kv_store import kv_store_rows_merge
+
+    rng = np.random.default_rng(5)
+    pool = rng.integers(-100, 100, (8, 16, 128)).astype(np.int8)
+    rows = rng.integers(-100, 100, (24, 128)).astype(np.int8)
+    src = np.asarray([3, 7, 11, 23, 0], np.int32)
+    pages = np.asarray([1, 4, 6, 2, 7], np.int32)
+    pos = np.asarray([5, 0, 15, 8, 7], np.int32)
+    out = np.asarray(kv_store_rows_merge(
+        jnp.asarray(pool), jnp.asarray(rows), jnp.asarray(src),
+        jnp.asarray(pages), jnp.asarray(pos), interpret=True))
+    ref = pool.copy()
+    for j in range(len(src)):
+        ref[pages[j], pos[j]] = rows[src[j]]
+    np.testing.assert_array_equal(out, ref)
+
+    # n_rows gates trailing (zero-padded) table entries
+    out2 = np.asarray(kv_store_rows_merge(
+        jnp.asarray(pool), jnp.asarray(rows), jnp.asarray(src),
+        jnp.asarray(pages), jnp.asarray(pos), n_rows=2, interpret=True))
+    ref2 = pool.copy()
+    for j in range(2):
+        ref2[pages[j], pos[j]] = rows[src[j]]
+    np.testing.assert_array_equal(out2, ref2)

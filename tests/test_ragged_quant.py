@@ -109,6 +109,41 @@ def test_mixed_batch(kind):
               num_queries_per_block=8, num_kv_pages_per_block=3)
 
 
+@pytest.mark.parametrize("kv_mode", ["bf16", "fp8"])
+def test_float_page_modes(kv_mode):
+    """bf16 / fp8 dense pages through the same kernel (the modes that let
+    the engine drop the library ragged kernel from every pool's path)."""
+    rng = np.random.default_rng(5)
+    raw = jax.random.normal(jax.random.key(21), (P, PS, 2 * Hk, D),
+                            jnp.float32) * 0.5
+    if kv_mode == "bf16":
+        pages = raw.astype(jnp.bfloat16)
+        kw = {}
+    else:
+        pages = raw.astype(jnp.float8_e4m3fn)
+        kw = {"kv_scale": 1.0}
+    deq = np.asarray(pages.astype(jnp.float32))
+    q_lens = [1, 5, 1, 17]
+    kv_lens = [33, 21, 64, 40]
+    n = len(q_lens)
+    pi = np.stack([rng.permutation(P)[:4] for _ in range(n)]).astype(np.int32)
+    T = int(sum(q_lens))
+    q = jax.random.normal(jax.random.key(22), (T, Hq, D), jnp.float32)
+    cu = np.zeros(n + 1, np.int32)
+    np.cumsum(q_lens, out=cu[1:])
+    out = np.asarray(ragged_quant_attention(
+        q, pages, jnp.asarray(np.asarray(kv_lens, np.int32)),
+        jnp.asarray(pi), jnp.asarray(cu), jnp.asarray([n], jnp.int32),
+        sm_scale=SCALE, kv_mode=kv_mode, num_queries_per_block=8,
+        num_kv_pages_per_block=2, interpret=True, **kw))
+    qn = np.asarray(q)
+    for i in range(n):
+        ref = _oracle_seq(deq, qn[cu[i]:cu[i + 1]], pi[i], kv_lens[i],
+                          q_lens[i])
+        np.testing.assert_allclose(out[cu[i]:cu[i + 1]], ref,
+                                   rtol=3e-2, atol=3e-2, err_msg=f"seq {i}")
+
+
 def test_dense_int8_global_scale():
     """Dense interleaved int8 pages with a global scale (the shipping KV
     config) through the same kernel."""

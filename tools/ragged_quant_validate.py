@@ -44,7 +44,8 @@ def make_rs_pool(P, kind, key=7):
                             jnp.float32)
     stored, scales = quantize_kv(raw, (kind, None))
     rh = Hk if kind == "int4_rs" else 2 * Hk
-    return stored.reshape(P, PS, rh, D), scales.reshape(P, PS, -1), stored, scales
+    return (stored.reshape(P, PS, rh, D), scales.reshape(P, PS, -1),
+            stored, scales)
 
 
 def dequant_interleaved(stored, scales, kind):
@@ -107,6 +108,26 @@ def smoke():
 
 def parity():
     P = 256
+    # bf16 mode vs the library kernel on the SAME pool (exact math path)
+    pool_bf = jax.random.normal(jax.random.key(4), (P, PS, 2 * Hk, D),
+                                jnp.bfloat16) * 0.5
+    q, lens, pi, cu, num = make_batch([1] * 64, [512] * 64, P)
+    say("parity[bf16]: in-house vs library on one bf16 pool ...")
+    out = ragged_quant_attention(q, pool_bf, lens, pi, cu, num,
+                                 sm_scale=SCALE, kv_mode="bf16")
+    ref = library_ref(q, pool_bf, lens, pi, cu, num)
+    d = maxdiff(out, ref)
+    say(f"parity[bf16]: decode maxdiff = {d:.5f} "
+        f"{'OK' if d < 2e-2 else 'FAIL'}")
+    qp, lensp, pip, cup, nump = make_batch(
+        [100, 500, 64, 1000], [612, 500, 1024, 1000], P, seed=5)
+    outp = ragged_quant_attention(qp, pool_bf, lensp, pip, cup, nump,
+                                  sm_scale=SCALE, kv_mode="bf16",
+                                  num_queries_per_block=64)
+    refp = library_ref(qp, pool_bf, lensp, pip, cup, nump, blocks=(16, 64))
+    d = maxdiff(outp, refp)
+    say(f"parity[bf16]: prefill maxdiff = {d:.5f} "
+        f"{'OK' if d < 2e-2 else 'FAIL'}")
     for kind in ("int4_rs", "int8_rs"):
         pool, spool, stored, scales = make_rs_pool(P, kind)
         deq = dequant_interleaved(stored, scales, kind)
@@ -167,8 +188,7 @@ def decode():
         return (library_ref(qq, pool, lens, pi, cu, num, kv_scale=0.0625)
                 * 1e-3).astype(qq.dtype)
 
-    t_lib = _timed(lambda qq: lib_step(qq, pool8), q0, 20, rtt)
-    say(f"decode: library int8 (16,8): {t_lib*1e3:.3f} ms")
+    steps = {"library (16,8)": lambda qq: lib_step(qq, pool8)}
 
     @ft.partial(jax.jit, donate_argnums=(0,))
     def dense_step(qq, pool):
@@ -177,27 +197,53 @@ def decode():
             kv_scale=0.0625, num_kv_pages_per_block=16,
             num_queries_per_block=8) * 1e-3).astype(qq.dtype)
 
-    t = _timed(lambda qq: dense_step(qq, pool8), q0, 20, rtt)
-    say(f"decode: quant-kernel int8 dense: {t*1e3:.3f} ms "
-        f"({t/t_lib:.2f}x library)")
+    steps["int8 dense (16,8)"] = lambda qq: dense_step(qq, pool8)
+    pool_bf = jax.random.normal(jax.random.key(4), (P, PS, 2 * Hk, D),
+                                jnp.bfloat16) * 0.5
 
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def lib_bf_step(qq, pool):
+        return (library_ref(qq, pool, lens, pi, cu, num, blocks=(8, 16))
+                * 1e-3).astype(qq.dtype)
+
+    steps["library bf16 (8,16)"] = lambda qq: lib_bf_step(qq, pool_bf)
+    for bkv, bq in ((16, 8), (8, 16), (16, 4)):
+        @ft.partial(jax.jit, donate_argnums=(0,))
+        def bf_step(qq, pool, bkv=bkv, bq=bq):
+            return (ragged_quant_attention(
+                qq, pool, lens, pi, cu, num, sm_scale=SCALE, kv_mode="bf16",
+                num_kv_pages_per_block=bkv,
+                num_queries_per_block=bq) * 1e-3).astype(qq.dtype)
+        steps[f"bf16 ({bkv},{bq})"] = lambda qq, f=bf_step: f(qq, pool_bf)
+    pools = {}
     for kind in ("int4_rs", "int8_rs"):
-        pool, spool, _, _ = make_rs_pool(P, kind)
-        for bkv, bq in ((16, 8), (8, 8), (16, 16), (8, 16), (4, 8)):
+        pools[kind] = make_rs_pool(P, kind)[:2]
+        for bkv, bq in ((16, 8), (16, 16), (4, 8), (16, 1), (16, 2), (16, 4)):
             @ft.partial(jax.jit, donate_argnums=(0,))
-            def rs_step(qq, pool, sp, bkv=bkv, bq=bq):
+            def rs_step(qq, pool, sp, kind=kind, bkv=bkv, bq=bq):
                 return (ragged_quant_attention(
                     qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
                     kv_mode=kind, num_kv_pages_per_block=bkv,
                     num_queries_per_block=bq) * 1e-3).astype(qq.dtype)
+            pl_, sp_ = pools[kind]
+            steps[f"{kind} ({bkv},{bq})"] = (
+                lambda qq, f=rs_step, p=pl_, s=sp_: f(qq, p, s))
+    # interleaved rounds + per-config minima: the tunneled chip's wall
+    # drifts within a run, so this is the only stable in-run estimator
+    best = {}
+    for rnd in range(4):
+        for name, fn in steps.items():
             try:
-                t = _timed(lambda qq: rs_step(qq, pool, spool), q0, 20, rtt)
+                t = _timed(fn, q0, 10, rtt)
+                best[name] = min(best.get(name, t), t)
             except Exception as e:  # noqa: BLE001
-                say(f"decode: {kind} ({bkv},{bq}): FAIL {type(e).__name__}: "
-                    f"{str(e).splitlines()[0][:90]}")
-                continue
-            say(f"decode: {kind} ({bkv},{bq}): {t*1e3:.3f} ms "
-                f"({t/t_lib:.2f}x library)")
+                if rnd == 0:
+                    say(f"decode: {name}: FAIL {type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:90]}")
+                best.setdefault(name, float("nan"))
+    t_lib = best["library (16,8)"]
+    for name, t in best.items():
+        say(f"decode: {name}: {t*1e3:.3f} ms ({t/t_lib:.2f}x library)")
 
 
 def prefill():
@@ -260,19 +306,34 @@ def split():
     q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
     q0 = np.asarray(q)
     pool, spool, _, _ = make_rs_pool(P, kind)
-    for dbg in ("full", "dma", "dma_data", "compute"):
+    modes = ("full", "fullnosc", "noexp2", "noextract", "nosoftmax", "dma",
+             "dma_data", "compute")
+    steps = {}
+    for dbg in modes:
         @ft.partial(jax.jit, donate_argnums=(0,))
         def step(qq, pool, sp, dbg=dbg):
             return (ragged_quant_attention(
                 qq, pool, lens, pi, cu, num, sp, sm_scale=SCALE,
                 kv_mode=kind, num_kv_pages_per_block=bkv,
                 num_queries_per_block=bq, debug=dbg) * 1e-3).astype(qq.dtype)
-        try:
-            t = _timed(lambda qq: step(qq, pool, spool), q0, 20, rtt)
-            say(f"split[{kind}]: {dbg}: {t*1e3:.3f} ms")
-        except Exception as e:  # noqa: BLE001
-            say(f"split[{kind}]: {dbg}: FAIL {type(e).__name__}: "
-                f"{str(e).splitlines()[0][:90]}")
+        steps[dbg] = step
+    # interleave variants across rounds, keep per-variant minima: the
+    # tunneled chip's wall drifts within a run, so back-to-back rounds +
+    # min is the only stable in-run estimator
+    best = {}
+    for rnd in range(4):
+        for dbg in modes:
+            try:
+                t = _timed(lambda qq: steps[dbg](qq, pool, spool), q0, 10,
+                           rtt)
+                best[dbg] = min(best.get(dbg, t), t)
+            except Exception as e:  # noqa: BLE001
+                if rnd == 0:
+                    say(f"split[{kind}]: {dbg}: FAIL {type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:90]}")
+                best.setdefault(dbg, float("nan"))
+    for dbg in modes:
+        say(f"split[{kind}]: {dbg}: {best[dbg]*1e3:.3f} ms")
 
 
 def pv8():
