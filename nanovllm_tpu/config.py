@@ -255,19 +255,19 @@ class Config:
                     f"divide num_key_value_heads "
                     f"({self.hf_config.num_key_value_heads})")
         if self.attn_blocks_decode == "auto":
-            # block optima differ by page dtype and kernel
-            # (tools/attn_tune.py + tools/ragged_quant_validate.py sweeps):
-            # library kernel on int8 pages wants (16, 8), bf16 (8, 16); the
-            # in-house quantized ragged kernel's round-5 interleaved-min
-            # sweep put (16, 4) best for int4 and int8_rs at B=256/ctx=1k
-            if self.kv_cache_dtype == "int4":
-                self.attn_blocks_decode = (16, 4)
-            elif self.kv_cache_dtype == "int8_rs":
-                self.attn_blocks_decode = (16, 4)
+            # block optima differ by page dtype and kernel; the binding
+            # sweep is tools/ragged_quant_validate.py `decode mixed`
+            # (per-seq contexts drawn from the bench's 100-1024 range —
+            # uniform-1k sweeps overrate large kv blocks, whose masked
+            # compute past kv_len is pure waste on short sequences):
+            # in-house rs kernel (4, 8); in-house bf16 (8, 8); library
+            # kernel on dense int8 pages (16, 8)
+            if self.kv_cache_dtype in ("int4", "int8_rs"):
+                self.attn_blocks_decode = (4, 8)
             elif self.kv_cache_dtype in ("int8", "fp8"):
                 self.attn_blocks_decode = (16, 8)
             else:
-                self.attn_blocks_decode = (8, 16)
+                self.attn_blocks_decode = (8, 8)
         if self.attention_impl == "xla":
             # The masked-softmax oracle materializes [T, B-context] fp32
             # scores; bound the batch so it stays test-sized. The Pallas

@@ -276,17 +276,23 @@ def paged_attention(q, kv_pages, meta: AttnMeta, layer_idx, scale, *,
     is_decode = meta.store_page_src.shape[0] == 1  # decode-scan meta shape
     kv_scale = (kv_quant[1] if kv_quant is not None
                 and kind not in ("int8_rs", "int4_rs") else None)
-    # The in-house kernel serves EVERY pool — bf16, fp8, int8, int8_rs,
+    # The in-house kernel can serve EVERY pool — bf16, fp8, int8, int8_rs,
     # int4 — completing SURVEY §2.9's "the build writes the kernel itself"
     # for both reference flash-attn entry points (reference:
-    # nanovllm/layers/attention.py:67-74). Geometry gate: its lane math is
-    # tuned for head_dim 128 (every supported model family's value);
-    # impl="library" keeps the jax.experimental ragged kernel reachable for
-    # A/B and as the fallback for exotic head dims.
+    # nanovllm/layers/attention.py:67-74). Default routing follows the
+    # measured mixed-context A/B (tools/ragged_quant_validate.py decode
+    # mixed): rs pools (their only non-oracle reader) and bf16 pools
+    # (in-house (8,8) = 0.83x the tuned library bf16 wall) go in-house;
+    # dense int8/fp8 stay on the library kernel (in-house 1.18x there —
+    # the per-block p-requant chain dominates at short contexts) unless
+    # impl="flash" opts in. Geometry gate: head_dim 128 (every supported
+    # model family's value); impl="library" keeps the jax.experimental
+    # kernel reachable for A/B and exotic head dims.
     kv_mode = {None: "bf16", "fp8": "fp8", "int8": "int8",
                "int8_rs": "int8_rs", "int4_rs": "int4_rs"}[kind]
     in_house = impl in ("ragged", "flash") and q.shape[-1] == 128 and (
-        kv_scales is not None or kv_pages.dtype != jnp.float32)
+        (kind is None and kv_pages.dtype == jnp.bfloat16)
+        or (impl == "flash" and kind in ("int8", "fp8")))
     if kv_scales is not None and impl != "xla":
         in_house = True  # rs pools have no other non-oracle reader
     if in_house and impl != "xla":

@@ -173,11 +173,20 @@ def _timed(step, q0, n, rtt):
 
 
 def decode():
-    """B=256 ctx=1k decode: int4_rs / int8 quant kernel vs tuned library."""
+    """B=256 decode A/B: in-house kernel vs tuned library. ``mixed`` argv
+    draws per-seq contexts from the bench's 100-1024 distribution (short
+    contexts penalize large un-gated kv blocks); default is uniform 1k."""
     B, ctx, P = 256, 1024, 4200
     rtt = _probe_rtt()
-    say(f"decode A/B: B={B} ctx={ctx} RTT={rtt*1e3:.1f} ms")
-    q, lens, pi, cu, num = make_batch([1] * B, [ctx] * B, P)
+    if len(sys.argv) > 2 and sys.argv[2] == "mixed":
+        rng = np.random.default_rng(11)
+        kv = rng.integers(100, 1025, B).tolist()
+        say(f"decode A/B: B={B} ctx=mixed(100-1024, avg {np.mean(kv):.0f}) "
+            f"RTT={rtt*1e3:.1f} ms")
+    else:
+        kv = [ctx] * B
+        say(f"decode A/B: B={B} ctx={ctx} RTT={rtt*1e3:.1f} ms")
+    q, lens, pi, cu, num = make_batch([1] * B, kv, P)
     q0 = np.asarray(q)
     pool8 = (jax.random.normal(jax.random.key(2), (P, PS, 2 * Hk, D),
                                jnp.float32) / 0.0625).round() \
@@ -198,6 +207,15 @@ def decode():
             num_queries_per_block=8) * 1e-3).astype(qq.dtype)
 
     steps["int8 dense (16,8)"] = lambda qq: dense_step(qq, pool8)
+
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def dense48_step(qq, pool):
+        return (ragged_quant_attention(
+            qq, pool, lens, pi, cu, num, sm_scale=SCALE, kv_mode="int8",
+            kv_scale=0.0625, num_kv_pages_per_block=4,
+            num_queries_per_block=8) * 1e-3).astype(qq.dtype)
+
+    steps["int8 dense (4,8)"] = lambda qq: dense48_step(qq, pool8)
     pool_bf = jax.random.normal(jax.random.key(4), (P, PS, 2 * Hk, D),
                                 jnp.bfloat16) * 0.5
 
@@ -207,7 +225,7 @@ def decode():
                 * 1e-3).astype(qq.dtype)
 
     steps["library bf16 (8,16)"] = lambda qq: lib_bf_step(qq, pool_bf)
-    for bkv, bq in ((16, 8), (8, 16), (16, 4)):
+    for bkv, bq in ((16, 8), (8, 16), (4, 8), (8, 8)):
         @ft.partial(jax.jit, donate_argnums=(0,))
         def bf_step(qq, pool, bkv=bkv, bq=bq):
             return (ragged_quant_attention(
