@@ -191,7 +191,7 @@ class Config:
     # time: the smallest table key >= the bucket, else the largest). None =
     # library default. Decode defaults are the NANOVLLM_TUNE_KV=int8 sweep
     # optima (the shipped KV dtype; bf16-page optima differ).
-    attn_blocks_prefill: tuple | dict | None = (16, 256)
+    attn_blocks_prefill: tuple | dict | None | str = "auto"  # by KV dtype
     attn_blocks_decode: tuple | dict | None | str = "auto"  # by KV dtype
     # Pre-compile every prefill/decode shape bucket at engine init (the
     # reference's warmup_model + capture_cudagraph, model_runner.py:117-129,
@@ -254,6 +254,13 @@ class Config:
                     f"tensor_parallel_size ({self.tensor_parallel_size}) to "
                     f"divide num_key_value_heads "
                     f"({self.hf_config.num_key_value_heads})")
+        if self.attn_blocks_prefill == "auto":
+            # round-5 T=8k sweep: the in-house rs kernel prefers (16, 128)
+            # — 0.94x the tuned library kernel's prefill wall for int4
+            # (round 4's weak leg at 1.30x, closed by the SWAR nibble
+            # decode); other pools keep the library-tuned (16, 256)
+            self.attn_blocks_prefill = ((16, 128) if self.kv_cache_dtype
+                                        in ("int4", "int8_rs") else (16, 256))
         if self.attn_blocks_decode == "auto":
             # block optima differ by page dtype and kernel; the binding
             # sweep is tools/ragged_quant_validate.py `decode mixed`
